@@ -1,0 +1,40 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The binlog/WAL-shaped change-event envelope (FIXTURES.md §2):
+  * `{"op":"I|U|D","lsn":<long>,"conv_id":"...","turn_idx":<int>,"after":{...}|null}`
+  *
+  * The envelope is fixed; `after` is open-ended (drives schema evolution) and
+  * is therefore kept as a raw JSON string at this layer — its schema is
+  * inferred per micro-batch (reference precedent: schema derived from content
+  * per record, JSONSchemaGeneratorProcessor.java:313). This is also what lets
+  * a Structured Streaming query survive mid-stream schema evolution: the
+  * streaming DataFrame's schema is fixed at start, so only the envelope is
+  * declared there and payload projection happens inside foreachBatch.
+  */
+object Feed {
+
+  val RawCol = "_raw"
+
+  /** Fixed envelope fields, parsed with from_json (malformed JSON → null → dead letter). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("lsn", LongType),
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType)))
+
+  /** `raw` must have a single string column `value` (text source shape).
+    * Output: _raw, op, lsn, conv_id, turn_idx, after (raw JSON text or null).
+    */
+  def parse(raw: DataFrame): DataFrame = {
+    raw.select(
+      col("value").as(RawCol),
+      from_json(col("value"), envelopeSchema).as("env"),
+      get_json_object(col("value"), "$.after").as("after")
+    ).select(col(RawCol), col("env.op"), col("env.lsn"), col("env.conv_id"),
+      col("env.turn_idx"), col("after"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.cdc
+
+import graft.table.IceLite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The Structured Streaming CDC pipeline: tail a JSONL change-feed directory,
+  * apply each micro-batch to the icelite table via MergeApply inside
+  * foreachBatch, checkpointed. The reference's continuous onTrigger pull loop
+  * with resumable cursors (LDAP paged cookie loop
+  * InsecureLDAPProcessor.java:541-585; HTTP pagination
+  * InsecureInvokeHTTP.java:1291-1507) maps to the file source's offset log:
+  * restart resumes from the checkpoint, and MergeApply's batchId-keyed
+  * idempotent commits make the sink exactly-once under replay.
+  */
+object Pipeline {
+
+  case class Config(feedDir: String, tablePath: String, checkpointDir: String,
+                    deadLetterDir: Option[String] = None,
+                    lineageDir: Option[String] = None,
+                    numBuckets: Int = 64,
+                    maxFilesPerTrigger: Option[Int] = None)
+
+  /** Replay everything currently in the feed, then stop (Trigger.AvailableNow).
+    * Safe to call repeatedly / after a crash: the checkpoint + committed
+    * batchIds converge to the same final table state.
+    */
+  def replay(spark: SparkSession, cfg: Config): Seq[MergeApply.ApplyResult] = {
+    if (!IceLite.exists(cfg.tablePath)) IceLite.create(cfg.tablePath, numBuckets = cfg.numBuckets)
+    val results = scala.collection.mutable.ArrayBuffer.empty[MergeApply.ApplyResult]
+
+    var reader = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+    cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val raw = reader
+      .option("recursiveFileLookup", "true")
+      .text(cfg.feedDir)
+
+    val q = raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val r = MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
+          cfg.deadLetterDir, cfg.lineageDir)
+        results.synchronized { results += r }
+        ()
+      }
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.toSeq
+  }
+}

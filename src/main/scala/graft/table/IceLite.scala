@@ -1,0 +1,197 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** `icelite` — a minimal from-scratch snapshot-based table format on
+  * Parquet + a JSON commit log, built because this environment has no
+  * Iceberg/Delta jars (SURVEY.md §7.0). It supplies exactly what the north
+  * rule needs:
+  *
+  *  - **Atomic snapshot commits**: `meta/v%05d.json` written via temp+rename,
+  *    then the `meta/_current` pointer swapped with an atomic move. Readers
+  *    only ever see a fully-written snapshot.
+  *  - **Idempotent epoch commits**: each snapshot carries the set of
+  *    committed `batchId`s; re-applying an already-committed micro-batch is a
+  *    no-op (exactly-once under foreachBatch retry — the reference precedent
+  *    is NiFi's session commit semantics, `@SupportsBatching`).
+  *  - **Schema evolution**: every bucket entry records the schema version it
+  *    was written with; reads group buckets by schema version, read each
+  *    group with its own schema, cast and `unionByName` up to the current
+  *    schema (ADD COLUMN / Long→Double widening never force a table rewrite).
+  *  - **Key-hash bucketing for pruned MERGE**: the table is laid out as
+  *    `numBuckets` hash buckets of `conv_id` (`pmod(xxhash64(conv_id), n)`).
+  *    A MERGE rewrites only the buckets its batch keys touch — O(touched
+  *    data), not O(table) — the property that makes the design hold at
+  *    10^10 events / 100 TB. Bucket stats (rows, min/max key) are kept in
+  *    the snapshot for pruning and skew diagnostics.
+  *  - **Time travel**: any `vN.json` can be loaded and read (golden-table
+  *    checkpoint checks).
+  *
+  * Internal columns: `_lsn` (last-writer LSN that produced the row) and
+  * `_deleted` (tombstone — deletes must out-rank late lower-LSN updates, so
+  * they are retained as rows and filtered on read).
+  */
+object IceLite {
+
+  val LsnCol = "_lsn"
+  val DeletedCol = "_deleted"
+  val BucketCol = "_bucket"
+  val KeyCols: Seq[String] = Seq("conv_id", "turn_idx")
+
+  case class BucketEntry(dir: String, bucket: Int, rows: Long, schemaV: Int,
+                         minKey: String, maxKey: String)
+
+  case class Snapshot(version: Int, schemaV: Int, numBuckets: Int,
+                      schemas: Map[Int, StructType],
+                      buckets: Seq[BucketEntry],
+                      committedBatches: Set[Long]) {
+    def schema: StructType = schemas(schemaV)
+    /** Payload fields = stored schema minus keys and internal columns. */
+    def payloadSchema: StructType =
+      StructType(schema.fields.filterNot(f =>
+        KeyCols.contains(f.name) || f.name == LsnCol || f.name == DeletedCol))
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Hash bucket of a key column — fixed function, must never change once a
+    * table exists (bucket pruning depends on it).
+    */
+  def bucketExpr(convId: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(convId), lit(numBuckets.toLong)).cast(IntegerType)
+
+  /** Key fields are non-nullable by construction. */
+  def keySchema: Seq[StructField] =
+    Seq(StructField("conv_id", StringType, nullable = false),
+        StructField("turn_idx", IntegerType, nullable = false))
+
+  def fullSchema(payload: StructType): StructType =
+    StructType(keySchema ++ payload.fields :+
+      StructField(LsnCol, LongType, nullable = false) :+
+      StructField(DeletedCol, BooleanType, nullable = false))
+
+  // ---------------------------------------------------------------- create
+
+  def create(path: String, payload: StructType = new StructType(), numBuckets: Int = 64): Snapshot = {
+    val metaDir = Paths.get(path, "meta")
+    Files.createDirectories(metaDir)
+    Files.createDirectories(Paths.get(path, "data"))
+    val snap = Snapshot(0, 1, numBuckets, Map(1 -> fullSchema(payload)), Nil, Set.empty)
+    writeSnapshot(path, snap)
+    snap
+  }
+
+  def exists(path: String): Boolean = Files.exists(Paths.get(path, "meta", "_current"))
+
+  // ------------------------------------------------------------------ load
+
+  def load(path: String): Snapshot = {
+    val cur = new String(Files.readAllBytes(Paths.get(path, "meta", "_current")), "UTF-8").trim
+    loadVersion(path, cur)
+  }
+
+  /** Time travel: load a specific snapshot file (e.g. "v00002.json"). */
+  def loadVersion(path: String, metaFile: String): Snapshot = {
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(path, "meta", metaFile)))
+    val schemas = root.get("schemas").fields().asScala.map { e =>
+      e.getKey.toInt -> DataType.fromJson(e.getValue.asText()).asInstanceOf[StructType]
+    }.toMap
+    val buckets = root.get("buckets").elements().asScala.map { b =>
+      BucketEntry(b.get("dir").asText(), b.get("bucket").asInt(), b.get("rows").asLong(),
+        b.get("schemaV").asInt(), b.get("minKey").asText(), b.get("maxKey").asText())
+    }.toSeq
+    val committed = root.get("committedBatches").elements().asScala.map(_.asLong()).toSet
+    Snapshot(root.get("version").asInt(), root.get("schemaV").asInt(),
+      root.get("numBuckets").asInt(), schemas, buckets, committed)
+  }
+
+  // ---------------------------------------------------------------- commit
+
+  /** Write snapshot JSON atomically and swing the `_current` pointer.
+    * Single-writer (the streaming driver); the atomic move is the commit
+    * point — a crash before it leaves the previous snapshot intact and the
+    * batch uncommitted (it will be replayed idempotently).
+    */
+  def writeSnapshot(path: String, snap: Snapshot): Unit = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("version", snap.version)
+    root.put("schemaV", snap.schemaV)
+    root.put("numBuckets", snap.numBuckets)
+    val sn = root.putObject("schemas")
+    snap.schemas.toSeq.sortBy(_._1).foreach { case (v, s) => sn.put(v.toString, s.json) }
+    val bn: ArrayNode = root.putArray("buckets")
+    snap.buckets.sortBy(_.bucket).foreach { b =>
+      val o = bn.addObject()
+      o.put("dir", b.dir); o.put("bucket", b.bucket); o.put("rows", b.rows)
+      o.put("schemaV", b.schemaV); o.put("minKey", b.minKey); o.put("maxKey", b.maxKey)
+    }
+    val cn = root.putArray("committedBatches")
+    snap.committedBatches.toSeq.sorted.foreach(cn.add)
+
+    val metaDir = Paths.get(path, "meta")
+    val name = f"v${snap.version}%05d.json"
+    val tmp = metaDir.resolve(name + ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.move(tmp, metaDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    val curTmp = metaDir.resolve("_current.tmp")
+    Files.write(curTmp, name.getBytes("UTF-8"))
+    Files.move(curTmp, metaDir.resolve("_current"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ------------------------------------------------------------------ read
+
+  /** Read the stored rows (internal columns included) of the given buckets,
+    * presented under the snapshot's current schema. Buckets written under
+    * older schema versions are read with their own schema and cast up —
+    * missing columns become nulls, widened columns are cast.
+    */
+  def readStored(spark: SparkSession, path: String, snap: Snapshot,
+                 buckets: Option[Set[Int]] = None): DataFrame = {
+    val want = buckets.map(bs => snap.buckets.filter(b => bs.contains(b.bucket)))
+      .getOrElse(snap.buckets)
+    val target = snap.schema
+    if (want.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    } else {
+      val bySchema = want.groupBy(_.schemaV)
+      bySchema.map { case (v, entries) =>
+        val s = snap.schemas(v)
+        val df = spark.read.schema(s).parquet(entries.map(e => s"$path/${e.dir}"): _*)
+        alignTo(df, target)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Live rows under the public schema (tombstones and internals dropped). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val snap = load(path)
+    readSnapshot(spark, path, snap)
+  }
+
+  def readSnapshot(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
+    val publicCols = snap.schema.fieldNames.filterNot(n => n == LsnCol || n == DeletedCol)
+    readStored(spark, path, snap)
+      .filter(!col(DeletedCol))
+      .select(publicCols.map(col): _*)
+  }
+
+  /** Cast/extend a DataFrame written under an older schema to `target`:
+    * add missing columns as typed nulls, cast widened columns.
+    */
+  private[graft] def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.schema.fieldNames.toSet
+    val cols = target.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+}

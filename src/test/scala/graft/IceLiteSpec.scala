@@ -1,0 +1,76 @@
+package graft
+
+import graft.table.IceLite
+import graft.table.IceLite.{BucketEntry, Snapshot}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IceLiteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val payload = StructType(Seq(
+    StructField("role", StringType), StructField("text", StringType)))
+
+  test("create / load round-trip") {
+    val dir = TestSpark.freshDir("icelite-create")
+    val snap = IceLite.create(dir, payload, numBuckets = 8)
+    val loaded = IceLite.load(dir)
+    assert(loaded == snap)
+    assert(loaded.schema.fieldNames.toSeq ==
+      Seq("conv_id", "turn_idx", "role", "text", "_lsn", "_deleted"))
+    assert(loaded.payloadSchema.fieldNames.toSeq == Seq("role", "text"))
+  }
+
+  test("commit is atomic + versioned; time travel loads old snapshots") {
+    val dir = TestSpark.freshDir("icelite-commit")
+    val s0 = IceLite.create(dir, payload, numBuckets = 8)
+    val s1 = s0.copy(version = 1, committedBatches = Set(0L))
+    IceLite.writeSnapshot(dir, s1)
+    assert(IceLite.load(dir).version == 1)
+    assert(IceLite.loadVersion(dir, "v00000.json").version == 0)
+  }
+
+  test("readStored groups by schema version and casts up (evolution-safe reads)") {
+    val dir = TestSpark.freshDir("icelite-evo")
+    IceLite.create(dir, payload, numBuckets = 4)
+    // v1 files: (role,text); write one bucket under schema v1
+    val df1 = Seq(("c1", 0, "user", "hi", 1L, false)).toDF(
+      "conv_id", "turn_idx", "role", "text", "_lsn", "_deleted")
+    df1.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/v00001/_bucket=0")
+    // schema v2 adds tokens long; a second bucket written under v2
+    val payload2 = StructType(payload.fields :+ StructField("tokens", LongType))
+    val df2 = Seq(("c2", 1, "assistant", "yo", 2L, false, 42L)).toDF(
+      "conv_id", "turn_idx", "role", "text", "_lsn", "_deleted", "tokens")
+      .select("conv_id", "turn_idx", "role", "text", "tokens", "_lsn", "_deleted")
+    df2.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/v00002/_bucket=1")
+    val snap = Snapshot(2, 2, 4,
+      Map(1 -> IceLite.fullSchema(payload), 2 -> IceLite.fullSchema(payload2)),
+      Seq(BucketEntry("data/v00001/_bucket=0", 0, 1, 1, "c1", "c1"),
+        BucketEntry("data/v00002/_bucket=1", 1, 1, 2, "c2", "c2")),
+      Set(0L, 1L))
+    IceLite.writeSnapshot(dir, snap)
+
+    val rows = IceLite.read(spark, dir).orderBy("conv_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "c1" && rows(0).isNullAt(4))  // tokens null-filled
+    assert(rows(1).getString(0) == "c2" && rows(1).getLong(4) == 42L)
+  }
+
+  test("tombstones are dropped from public reads, kept in stored reads") {
+    val dir = TestSpark.freshDir("icelite-tomb")
+    IceLite.create(dir, payload, numBuckets = 4)
+    val df = Seq(
+      ("c1", 0, "user", "hi", 1L, false),
+      ("c1", 1, "user", "bye", 2L, true)).toDF(
+      "conv_id", "turn_idx", "role", "text", "_lsn", "_deleted")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/v00001/_bucket=2")
+    val snap = IceLite.load(dir).copy(version = 1,
+      buckets = Seq(BucketEntry("data/v00001/_bucket=2", 2, 2, 1, "c1", "c1")))
+    IceLite.writeSnapshot(dir, snap)
+    assert(IceLite.read(spark, dir).count() == 1)
+    assert(IceLite.readStored(spark, dir, IceLite.load(dir)).count() == 2)
+    assert(IceLite.readStored(spark, dir, IceLite.load(dir), Some(Set(3))).count() == 0)
+  }
+}
