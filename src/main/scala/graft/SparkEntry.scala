@@ -1,13 +1,306 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.BinaryDecoders
+import graft.ops.{CdcQueries, MultimodalOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — SURVEY.md §2 operator inventory as runnable queries.
+  * Every SQL-expressible operator has a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL column names and ordering; pipeline-shaped / hash-based ops are
+  * rows-only checked here and oracle-checked in the ScalaTest suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full CDC replay (feed → streaming → icelite MERGE) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CdcQueries.upsertFromEvents(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CDC / streaming core (SURVEY §2.1 S3-S9, §2.5, §2.9) ----
+    "cdc_upsert_lww" -> ((s, d) => CdcQueries.upsertFromEvents(s, d)),
+    "cdc_lww_window" -> ((s, d) => CdcQueries.lwwLatestPerKey(s, d)),
+    "cdc_route_counts" -> ((s, d) => CdcQueries.routeCounts(s, d)),
+    "cdc_dead_letter" -> ((s, d) => CdcQueries.deadLetterSummary(s, d)),
+    "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
+
+    // ---- aggregations (§2.4 A1-A6) ----
+    "agg_count_by_type" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+    "agg_sum_value" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(round(sum("value"), 4).as("total"), count(lit(1)).as("n"))
+        .orderBy("user_id")),
+    "agg_page_concat" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("pages"))
+        .orderBy("user_id")),
+    "distinct_types" -> ((s, d) =>
+      t(s, d, "events").select("event_type").distinct().orderBy("event_type")),
+
+    // ---- filters / predicates / routing (§2.2 P1-P9) ----
+    "filter_status_range" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("value").between(200.0, 299.0) || col("value") === 304.0)
+        .select("event_id", "event_type", "value").orderBy("event_id")),
+    "project_prune" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "json_extract_k" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+        .orderBy("event_id")),
+    "coalesce_override" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          coalesce(get_json_object(col("props"), "$.missing"), col("event_type")).as("resolved"))
+        .orderBy("event_id")),
+    "format_detect" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        col("text").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}").as("has_email"),
+        col("text").rlike("\\d{4}-\\d{2}-\\d{2}").as("has_date"),
+        col("text").rlike("(https?|ftp)://").as("has_uri"))
+        .orderBy("doc_id")),
+
+    // ---- windows / sorts / limits (§2.5, §2.6) ----
+    "window_topk_per_user" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
+    }),
+    "sort_limit_topk" -> ((s, d) =>
+      t(s, d, "events").orderBy(col("value").desc, col("event_id")).limit(10)
+        .select("event_id", "value")),
+
+    // ---- set ops (§2.7) ----
+    "set_union_pages" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "click").select(col("event_id"), lit("p1").as("page"))
+        .unionByName(
+          e.filter(col("value") > 150.0).select(col("event_id"), lit("p2").as("page")))
+        .orderBy("page", "event_id")
+    }),
+
+    // ---- scalar functions (§2.8 F1-F18) ----
+    "split_mx" -> ((s, d) => {
+      val sp = split(concat(col("user_id").cast("string"), lit(" "), col("event_type")), " ")
+      t(s, d, "events")
+        .select(col("event_id"),
+          element_at(sp, 1).cast("int").as("prio"), element_at(sp, 2).as("host"))
+        .orderBy("event_id")
+    }),
+    "base64_auth" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          base64(concat(col("event_type"), lit(":"), col("user_id").cast("string"))
+            .cast("binary")).as("auth"))
+        .orderBy("event_id")),
+    "txt_join_frag" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), "").as("frag"))
+        .orderBy("doc_id")),
+    "decode_guid_sid" -> ((s, d) => {
+      val e = t(s, d, "events").limit(100)
+      val guidBytes = unhex(md5(col("event_type")))
+      val sidBytes = concat(
+        lit(Array[Byte](1, 2, 0, 0, 0, 0, 0, 5)),
+        unhex(substring(md5(concat(col("event_id").cast("string"))), 1, 16)))
+      e.select(col("event_id"),
+        BinaryDecoders.guid_decode(guidBytes).as("guid"),
+        BinaryDecoders.sid_decode(sidBytes).as("sid"))
+        .orderBy("event_id")
+    }),
+
+    // ---- joins (§2.3 J1-J3) ----
+    "join_dim_broadcast" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n"))
+        .orderBy("r_name")),
+    "join_anti_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- classic pricing summary (exact integer-cents arithmetic) ----
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_base_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- training-data ops: dedup / text analysis ----
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+
+    // ---- similarity search ----
+    "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
+    "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
+
+    // ---- multimodal plumbing ----
+    "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_upsert_lww" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value", ts
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed)
+        |SELECT conv_id, turn_idx, role, text, "value", ts
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    "cdc_lww_window" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed)
+        |SELECT conv_id, turn_idx, role, text, "value"
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    "cdc_route_counts" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'retry'
+        |            WHEN "value" >= 300.0 THEN 'failure'
+        |            ELSE 'success' END AS relationship, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY relationship""".stripMargin,
+    "agg_count_by_type" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_sum_value" ->
+      """SELECT user_id, round(sum("value"), 4) AS total, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_page_concat" ->
+      """SELECT user_id, string_agg(event_type, chr(10) ORDER BY event_id) AS pages
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "filter_status_range" ->
+      """SELECT event_id, event_type, "value" FROM events
+        |WHERE ("value" BETWEEN 200.0 AND 299.0) OR "value" = 304.0
+        |ORDER BY event_id""".stripMargin,
+    "project_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "json_extract_k" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "coalesce_override" ->
+      """SELECT event_id, coalesce(json_extract_string(props, '$.missing'), event_type) AS resolved
+        |FROM events ORDER BY event_id""".stripMargin,
+    "format_detect" ->
+      """SELECT doc_id,
+        |       regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') AS has_email,
+        |       regexp_matches(text, '\d{4}-\d{2}-\d{2}') AS has_date,
+        |       regexp_matches(text, '(https?|ftp)://') AS has_uri
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "window_topk_per_user" ->
+      """SELECT user_id, event_id, "value" FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY "value" DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT event_id, "value" FROM events
+        |ORDER BY "value" DESC, event_id LIMIT 10""".stripMargin,
+    "set_union_pages" ->
+      """SELECT * FROM (
+        |  SELECT event_id, 'p1' AS page FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, 'p2' AS page FROM events WHERE "value" > 150.0)
+        |ORDER BY page, event_id""".stripMargin,
+    "split_mx" ->
+      """SELECT event_id,
+        |       CAST(split_part(CAST(user_id AS VARCHAR) || ' ' || event_type, ' ', 1) AS INTEGER) AS prio,
+        |       split_part(CAST(user_id AS VARCHAR) || ' ' || event_type, ' ', 2) AS host
+        |FROM events ORDER BY event_id""".stripMargin,
+    "base64_auth" ->
+      """SELECT event_id, to_base64(encode(event_type || ':' || CAST(user_id AS VARCHAR))) AS auth
+        |FROM events ORDER BY event_id""".stripMargin,
+    "txt_join_frag" ->
+      """SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], '') AS frag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "join_dim_broadcast" ->
+      """SELECT r_name, count(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_anti_orders" ->
+      """SELECT count(*) AS n FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       round(len(list_filter(string_split(text, ' '),
+        |             x -> x IN ('the','a','of','to','and','in','is'))) * 1.0
+        |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |       round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / n_chars, 4) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN len(list_filter(string_split(lower(text), ' '),
+        |                 x -> x IN ('the','a','of','to','and','in','is'))) >= 2
+        |            THEN 'en' ELSE 'unk' END AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT qid, vec_id AS nid,
+        |         round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) AS cos
+        |  FROM embeddings, q WHERE vec_id <> qid)
+        |SELECT qid, nid, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |  FROM pairs) WHERE rn <= 5
+        |ORDER BY qid, nid""".stripMargin
+  )
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  * Two paths:
+  *  - brute-force cosine top-k (the verifiable baseline; broadcast the query
+  *    set, scan the corpus once — at 100 TB this is the "small query batch ×
+  *    huge corpus" shape, one broadcast join + one windowed top-k shuffle);
+  *  - random-hyperplane LSH (the scale path: candidates from an equi-join on
+  *    bucket signatures instead of a full scan per query).
+  * Dot products are `zip_with` + `aggregate` in double precision — codegen'd
+  * column expressions, no UDFs.
+  */
+object VectorOps {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries, ranked by cosine
+    * rounded to 4 decimals (ties broken by neighbor id — also what makes the
+    * DuckDB oracle rank identically despite last-ulp float divergence).
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "cos")
+      .orderBy("qid", "nid")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed hash mapped to {-1, +1} — reproducible on any cluster size.
+    */
+  private def planeSign(plane: Int, dimIdx: Column): Column =
+    when(pmod(xxhash64(lit(plane), dimIdx, lit("lsh-plane")), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Sign bit of the projection of `vec` onto pseudo-random plane `p`. */
+  private def signBit(vec: Column, p: Int): Column = {
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** LSH bucket signature: `nPlanes` sign bits packed into a long. */
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(p => shiftleft(signBit(vec, p), p))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN via random-hyperplane LSH: candidates share a bucket signature in
+    * any of `tables` independent tables; exact cosine re-rank of candidates.
+    * The candidate join is an equi-join on (table, signature) — the scalable
+    * alternative to the brute-force scan.
+    */
+  def annLsh(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
+             nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, sfDir)
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        // independent tables: offset the plane index space per table
+        (0 until nPlanes).map(p => shiftleft(signBit(col("embedding"), t * nPlanes + p), p))
+          .reduce((a, b) => a.bitwiseOR(b))): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val q = sigs.filter(col("vec_id") < nQueries)
+      .select(col("tbl"), col("sig"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cands = sigs.join(q, Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("embedding"))
+      .distinct()
+    val scored = cands.select(col("qid"), col("nid"),
+      round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "cos")
+      .orderBy("qid", "nid")
+  }
+}
