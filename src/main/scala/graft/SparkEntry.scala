@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.BinaryDecoders
-import graft.ops.{CdcQueries, MultimodalOps, TextOps, VectorOps}
+import graft.functions.{BinaryDecoders, JsonSchemaRender}
+import graft.ops.{CdcQueries, MultimodalOps, PageOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -149,12 +149,27 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
 
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
+    "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
+
+    // ---- page combine / LDIF / DNS shaping (SURVEY §2.4 A2, §2.8 F15/F16/F12, §2.2 P7) ----
+    "odata_page_combine" -> ((s, d) => PageOps.odataPageCombine(s, d)),
+    "ldif_render" -> ((s, d) => PageOps.ldifRender(s, d)),
+    "dns_shape" -> ((s, d) => PageOps.dnsShape(s, d)),
+
+    // ---- per-record JSON-Schema document generation (the JSG output itself) ----
+    "jsg_json_schema" -> ((s, d) => {
+      val render = udf((j: String) => JsonSchemaRender.forDocument(j).orNull)
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), render(col("props")).as("json_schema"))
+        .orderBy("event_id")
+    }),
 
     // ---- multimodal plumbing ----
     "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d))
@@ -279,6 +294,12 @@ object SparkEntry {
         |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
         |       round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / n_chars, 4) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |       greatest(len(text) - 15, 1) AS n_windows,
+        |       list_min(list_transform(range(1, greatest(len(text) - 15, 1) + 1),
+        |                i -> md5(substr(text, CAST(i AS INTEGER), 16)))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS ws_tokens,
@@ -290,6 +311,67 @@ object SparkEntry {
         |                 x -> x IN ('the','a','of','to','and','in','is'))) >= 2
         |            THEN 'en' ELSE 'unk' END AS pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |allv AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, v FROM base WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+    "odata_page_combine" ->
+      """WITH pages AS (
+        |  SELECT user_id % 50 AS chain, event_id AS page_no,
+        |         [CAST(event_id AS VARCHAR), CAST(event_id * 2 AS VARCHAR)] AS value,
+        |         '$metadata#chain-' || CAST(user_id % 50 AS VARCHAR) AS ctx
+        |  FROM events)
+        |SELECT chain, count(*) AS n_pages,
+        |       arg_min(ctx, page_no) AS ctx,
+        |       array_to_string(flatten(list(value ORDER BY page_no)), ',') AS combined
+        |FROM pages GROUP BY chain ORDER BY chain""".stripMargin,
+    "ldif_render" ->
+      """WITH n AS (
+        |  SELECT event_id,
+        |         event_type,
+        |         CASE WHEN event_id % 3 = 0 THEN ' leading-' || event_type
+        |              ELSE event_type END AS note
+        |  FROM events)
+        |SELECT event_id,
+        |       concat_ws(chr(10),
+        |         'dn: uid=' || CAST(event_id AS VARCHAR) || ',ou=events,dc=example,dc=com',
+        |         'objectClass: event',
+        |         'eventType: ' || event_type,
+        |         CASE WHEN starts_with(note, ' ')
+        |              THEN 'note:: ' || to_base64(encode(note))
+        |              ELSE 'note: ' || note END) AS ldif
+        |FROM n ORDER BY event_id""".stripMargin,
+    "dns_shape" ->
+      """WITH q AS (
+        |  SELECT event_id,
+        |         ['A','AAAA','MX','TXT'][CAST(event_id % 4 AS INTEGER) + 1] AS qtype
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, qtype,
+        |         CASE WHEN qtype = 'A' THEN
+        |                CASE WHEN event_id % 2 = 0 THEN '10.0.0.' || CAST(event_id % 256 AS VARCHAR)
+        |                     ELSE 'alias-' || CAST(event_id AS VARCHAR) || '.example.com' END
+        |              WHEN qtype = 'AAAA' THEN '2001:db8::' || CAST(event_id % 16 AS VARCHAR)
+        |              WHEN qtype = 'MX' THEN CAST(event_id % 100 AS VARCHAR) || ' mx-' ||
+        |                   CAST(event_id AS VARCHAR) || '.example.com'
+        |              ELSE 'txt-fragment-' || CAST(event_id AS VARCHAR) END AS raw
+        |  FROM q)
+        |SELECT event_id, qtype, raw,
+        |       CASE WHEN qtype = 'A' AND regexp_matches(raw, '^\d+\.\d+\.\d+\.\d+$')
+        |            THEN raw END AS ip,
+        |       CASE WHEN qtype = 'A' AND NOT regexp_matches(raw, '^\d+\.\d+\.\d+\.\d+$')
+        |            THEN raw END AS cname,
+        |       CASE WHEN qtype = 'MX' THEN CAST(split_part(raw, ' ', 1) AS INTEGER) END AS mx_prio,
+        |       CASE WHEN qtype = 'MX' THEN split_part(raw, ' ', 2) END AS mx_host
+        |FROM r ORDER BY event_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

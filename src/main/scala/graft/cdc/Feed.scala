@@ -19,12 +19,18 @@ object Feed {
 
   val RawCol = "_raw"
 
-  /** Fixed envelope fields, parsed with from_json (malformed JSON → null → dead letter). */
+  /** Fixed envelope fields, parsed with from_json (malformed JSON → null →
+    * dead letter). `after` is declared StringType: Spark's Jackson parser
+    * captures a non-string JSON value targeted at a string field as its raw
+    * JSON text — so ONE parse yields both the typed envelope and the opaque
+    * payload (no second get_json_object pass over every line).
+    */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("op", StringType),
     StructField("lsn", LongType),
     StructField("conv_id", StringType),
-    StructField("turn_idx", IntegerType)))
+    StructField("turn_idx", IntegerType),
+    StructField("after", StringType)))
 
   /** `raw` must have a single string column `value` (text source shape).
     * Output: _raw, op, lsn, conv_id, turn_idx, after (raw JSON text or null).
@@ -32,9 +38,8 @@ object Feed {
   def parse(raw: DataFrame): DataFrame = {
     raw.select(
       col("value").as(RawCol),
-      from_json(col("value"), envelopeSchema).as("env"),
-      get_json_object(col("value"), "$.after").as("after")
+      from_json(col("value"), envelopeSchema).as("env")
     ).select(col(RawCol), col("env.op"), col("env.lsn"), col("env.conv_id"),
-      col("env.turn_idx"), col("after"))
+      col("env.turn_idx"), col("env.after"))
   }
 }

@@ -24,7 +24,7 @@ object FeedGen {
   def synthetic(spark: SparkSession, outDir: Option[String], nEvents: Long,
                 nConvs: Int = 100, turnsPerConv: Int = 20, nBatches: Int = 8,
                 seed: Long = 42L, malformedEvery: Int = 499,
-                duplicateEvery: Int = 97): DataFrame = {
+                duplicateEvery: Int = 97, filesPerBatch: Int = 1): DataFrame = {
     val df = spark.range(0, nEvents).toDF("id")
       .withColumn("lsn", col("id") + 1)
 
@@ -95,7 +95,10 @@ object FeedGen {
     val lines = withLine.unionByName(dups).select("batch", "value")
 
     outDir.foreach { dir =>
-      lines.repartition(nBatches, col("batch"))
+      // filesPerBatch > 1 spreads each batch dir over several text files so
+      // the replay's scan parallelizes without relying on in-file splits.
+      lines.repartition(nBatches * filesPerBatch, col("batch"),
+          pmod(xxhash64(col("value")), lit(filesPerBatch.toLong)))
         .write.mode(SaveMode.Overwrite).partitionBy("batch").text(dir)
     }
     lines

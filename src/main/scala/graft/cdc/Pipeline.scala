@@ -20,7 +20,8 @@ object Pipeline {
                     deadLetterDir: Option[String] = None,
                     lineageDir: Option[String] = None,
                     numBuckets: Int = 64,
-                    maxFilesPerTrigger: Option[Int] = None)
+                    maxFilesPerTrigger: Option[Int] = None,
+                    policy: MergeApply.CompactionPolicy = MergeApply.CompactionPolicy())
 
   /** Replay everything currently in the feed, then stop (Trigger.AvailableNow).
     * Safe to call repeatedly / after a crash: the checkpoint + committed
@@ -40,7 +41,7 @@ object Pipeline {
     val q = raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val r = MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
-          cfg.deadLetterDir, cfg.lineageDir)
+          cfg.deadLetterDir, cfg.lineageDir, cfg.policy)
         results.synchronized { results += r }
         ()
       }
@@ -49,5 +50,31 @@ object Pipeline {
       .start()
     q.awaitTermination()
     results.toSeq
+  }
+
+  /** Live tail: same pipeline, continuous micro-batches (St1 — the
+    * reference's unbounded onTrigger pull loop). Returns the running query;
+    * caller owns its lifecycle. `onBatch` observes each apply result
+    * (metrics hook).
+    */
+  def tail(spark: SparkSession, cfg: Config,
+           intervalMs: Long = 1000L,
+           onBatch: MergeApply.ApplyResult => Unit = _ => ())
+          : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (!IceLite.exists(cfg.tablePath)) IceLite.create(cfg.tablePath, numBuckets = cfg.numBuckets)
+    var reader = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+    cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    reader.option("recursiveFileLookup", "true")
+      .text(cfg.feedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        onBatch(MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
+          cfg.deadLetterDir, cfg.lineageDir, cfg.policy))
+        ()
+      }
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
   }
 }

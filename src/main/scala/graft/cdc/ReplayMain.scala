@@ -20,6 +20,10 @@ object ReplayMain {
       .appName("graft-cdc-replay")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // Scan parallelism = input splits; JSONL feeds compress well into few
+      // files, so split fine (the parse+infer scan is the heaviest stage).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", s"${8 * 1024 * 1024}"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -36,23 +40,29 @@ object ReplayMain {
       case feedDir :: tableDir :: ckpt :: rest =>
         val numBuckets = rest.headOption.map(_.toInt).getOrElse(64)
         val mfpt = rest.drop(1).headOption.map(_.toInt)
+        val policy = MergeApply.CompactionPolicy(
+          factor = sys.env.getOrElse("SPARK_GRAFT_COMPACT_FACTOR", "0.3").toDouble,
+          minRows = sys.env.getOrElse("SPARK_GRAFT_COMPACT_MINROWS", "20000").toLong,
+          maxDeltaFiles = sys.env.getOrElse("SPARK_GRAFT_COMPACT_MAXFILES", "8").toInt)
         val t0 = System.nanoTime()
         val results = Pipeline.replay(spark, Pipeline.Config(
           feedDir, tableDir, ckpt,
           deadLetterDir = Some(s"$tableDir/_deadletter"),
           lineageDir = Some(s"$tableDir/_lineage"),
-          numBuckets = numBuckets, maxFilesPerTrigger = mfpt))
+          numBuckets = numBuckets, maxFilesPerTrigger = mfpt, policy = policy))
         val secs = (System.nanoTime() - t0) / 1e9
         results.foreach(r => println(s"[batch ${r.batchId}] committed=${r.committed} " +
           s"version=${r.version} events=${r.events} applied=${r.applied} " +
-          s"malformed=${r.malformed} buckets=${r.touchedBuckets} rows=${r.rowsWritten} " +
-          s"schema='${r.schemaChanged}' ${r.durationMs}ms"))
+          s"malformed=${r.malformed} buckets=${r.touchedBuckets} " +
+          s"deltaRows=${r.deltaRows} compacted=${r.compactedBuckets}(${r.compactedRows} rows) " +
+          s"lsn=[${r.minLsn},${r.maxLsn}] schema='${r.schemaChanged}' ${r.durationMs}ms"))
         val events = results.map(_.events).sum
         println(f"[replay] batches=${results.size} events=$events in $secs%.2fs " +
           f"(${events / math.max(secs, 1e-9)}%.0f events/s)")
         val snap = IceLite.load(tableDir)
         println(s"[table] version=${snap.version} schemaV=${snap.schemaV} " +
-          s"buckets=${snap.buckets.size} rows=${snap.buckets.map(_.rows).sum}")
+          s"baseBuckets=${snap.buckets.size} baseRows=${snap.buckets.map(_.rows).sum} " +
+          s"deltaFiles=${snap.deltas.size} deltaRows=${snap.deltas.map(_.rows).sum}")
         println("[table] schema: " + snap.schema.simpleString)
         IceLite.read(spark, tableDir).orderBy("conv_id", "turn_idx").show(5, truncate = false)
 

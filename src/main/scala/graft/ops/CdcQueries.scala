@@ -37,7 +37,7 @@ object CdcQueries {
     Pipeline.replay(spark, Pipeline.Config(
       s"$base/feed", s"$base/table", s"$base/ckpt",
       deadLetterDir = Some(s"$base/dead"), lineageDir = Some(s"$base/lineage"),
-      numBuckets = 32, maxFilesPerTrigger = Some(2)))
+      numBuckets = 32, maxFilesPerTrigger = Some(4)))
     IceLite.read(spark, s"$base/table")
       .select("conv_id", "turn_idx", "role", "text", "value", "ts")
       .orderBy("conv_id", "turn_idx")

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference operators beyond the CDC core, re-expressed set-oriented:
+  * paginated page-combination (InsecureInvokeHTTP.java:914-1043), LDIF
+  * rendering (InsecureLDAPProcessor.java:824-875), and DNS per-type result
+  * shaping (DNSClientProcessor.java:301-381). All pure `functions._`
+  * compositions (codegen'd), each with a DuckDB oracle.
+  */
+object PageOps {
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** A2 page-array combination: pages of one chain are merged into the first
+    * page's envelope with `data[]` = ordered concatenation of all pages'
+    * arrays (HTTP:964-1026: first-page template, per-page append). Page order
+    * = fetch order (the pagination cursor), here page_no. One keyed shuffle;
+    * the per-group sort is bounded by pages-per-chain (maxPages ≙ 10).
+    */
+  def odataPageCombine(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = events(spark, sfDir).select(
+      (col("user_id") % 50).as("chain"),
+      col("event_id").as("page_no"),
+      array(col("event_id").cast(StringType), (col("event_id") * 2).cast(StringType)).as("value"),
+      concat(lit("$metadata#chain-"), (col("user_id") % 50).cast(StringType)).as("ctx"))
+    pages.groupBy("chain")
+      .agg(
+        count(lit(1)).as("n_pages"),
+        min_by(col("ctx"), col("page_no")).as("ctx"), // first page's envelope
+        array_join(
+          flatten(transform(array_sort(collect_list(struct(col("page_no"), col("value")))),
+            p => p.getField("value"))), ",").as("combined"))
+      .orderBy("chain")
+  }
+
+  /** F15 LDIF rendering with the `::` base64 rule for values that start with
+    * an unsafe char (space here; LDAP:853-857), line-oriented output
+    * (LDAP:824-875).
+    */
+  def ldifRender(spark: SparkSession, sfDir: String): DataFrame = {
+    val note = when(col("event_id") % 3 === 0,
+      concat(lit(" leading-"), col("event_type"))).otherwise(col("event_type"))
+    val noteLine = when(note.startsWith(" "),
+      concat(lit("note:: "), base64(note.cast(BinaryType))))
+      .otherwise(concat(lit("note: "), note))
+    events(spark, sfDir).select(
+      col("event_id"),
+      concat_ws("\n",
+        concat(lit("dn: uid="), col("event_id"), lit(",ou=events,dc=example,dc=com")),
+        concat(lit("objectClass: event")),
+        concat(lit("eventType: "), col("event_type")),
+        noteLine).as("ldif"))
+      .orderBy("event_id")
+  }
+
+  /** F16 + P7 + F12: DNS result shaping per record type — A results split
+    * into ip vs cname by the IPv4 regex (DNS:319-327), MX "prio host" split
+    * into a typed pair (DNS:354-366), TXT passthrough (DNS:457-465).
+    */
+  def dnsShape(spark: SparkSession, sfDir: String): DataFrame = {
+    val qtype = element_at(array(lit("A"), lit("AAAA"), lit("MX"), lit("TXT")),
+      (col("event_id") % 4 + 1).cast(IntegerType))
+    val raw = when(qtype === "A",
+        when(col("event_id") % 2 === 0,
+          concat(lit("10.0.0."), (col("event_id") % 256).cast(StringType)))
+          .otherwise(concat(lit("alias-"), col("event_id"), lit(".example.com"))))
+      .when(qtype === "AAAA", concat(lit("2001:db8::"), (col("event_id") % 16).cast(StringType)))
+      .when(qtype === "MX", concat((col("event_id") % 100).cast(StringType),
+        lit(" mx-"), col("event_id"), lit(".example.com")))
+      .otherwise(concat(lit("txt-fragment-"), col("event_id")))
+    val isIpv4 = raw.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$")
+    events(spark, sfDir).select(
+      col("event_id"),
+      qtype.as("qtype"),
+      raw.as("raw"),
+      when(qtype === "A" && isIpv4, raw).otherwise(lit(null).cast(StringType)).as("ip"),
+      when(qtype === "A" && !isIpv4, raw).otherwise(lit(null).cast(StringType)).as("cname"),
+      when(qtype === "MX", element_at(split(raw, " "), 1).cast(IntegerType))
+        .otherwise(lit(null).cast(IntegerType)).as("mx_prio"),
+      when(qtype === "MX", element_at(split(raw, " "), 2))
+        .otherwise(lit(null).cast(StringType)).as("mx_host"))
+      .orderBy("event_id")
+  }
+}

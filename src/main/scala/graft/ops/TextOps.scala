@@ -58,6 +58,17 @@ object TextOps {
       array_min(transform(shingleCol, s => xxhash64(s, lit(h))))
     }: _*)
 
+  /** (doc_id, sig) with the minhash signature MATERIALIZED (persisted):
+    * Catalyst's CollapseProject would otherwise inline the shingle array
+    * into all `numHashes` hash lambdas (recomputing it 16×), and the LSH
+    * band self-join would re-evaluate the whole pipeline on both sides.
+    */
+  private def minhashSigs(spark: SparkSession, sfDir: String, numHashes: Int): DataFrame =
+    withPlantedDups(spark, sfDir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist()
+
   /** MinHash + LSH banding near-dup candidates: signature of `numHashes`
     * minhashes split into `bands` bands; docs sharing any band key are
     * candidates; candidates scored by estimated Jaccard (signature overlap).
@@ -66,8 +77,7 @@ object TextOps {
                       numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), minhashSignature(shingles(col("text"), 3), numHashes).as("sig"))
+    val sigs = minhashSigs(spark, sfDir, numHashes)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit("band")))))
@@ -94,6 +104,7 @@ object TextOps {
     val cands = dedupMinhashLsh(spark, sfDir, threshold = 0.0)
     val sh = withPlantedDups(spark, sfDir)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .persist()
     cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -121,7 +132,8 @@ object TextOps {
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
-    val d = withPlantedDups(spark, sfDir).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val d = withPlantedDups(spark, sfDir)
+      .select(col("doc_id"), simhash(col("text")).as("sh")).persist()
     // 4 blocks of 16 bits: Hamming ≤ 3 guarantees a shared block; we use the
     // block join for candidates and exact popcount for the verdict.
     val blocked = d.select(col("doc_id"), col("sh"),
@@ -162,6 +174,22 @@ object TextOps {
       size(split(col("text"), " ")).as("ws_tokens"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("re_tokens"))
       .orderBy("doc_id")
+
+  /** Document fingerprinting by rolling window hashes (winnowing-style):
+    * hash every k-char window of the text, keep the minimum — a content
+    * fingerprint stable under small appends/prepends, plus the window count.
+    * Pure `transform`/`sequence` composition (codegen'd, no UDF); md5 as the
+    * window hash so an independent engine (DuckDB) reproduces it bit-exact.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val nWin = greatest(length(col("text")) - (k - 1), lit(1))
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      nWin.as("n_windows"),
+      array_min(transform(sequence(lit(1), nWin),
+        i => md5(col("text").substr(i, lit(k))))).as("fp"))
+      .orderBy("doc_id")
+  }
 
   /** Language-ID heuristic: English stopword density (n-gram heuristic in
     * its simplest deterministic SQL-parity form).

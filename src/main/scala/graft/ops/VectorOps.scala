@@ -45,6 +45,32 @@ object VectorOps {
       .orderBy("qid", "nid")
   }
 
+  /** Embedding-cosine near-duplicate pairs: the corpus plus planted exact
+    * copies (vec_id % 25 == 0 → copy at vec_id + 100000), all pairs with
+    * rounded cosine ≥ threshold. Brute-force pair generation is the
+    * oracle-verifiable baseline; at 100 TB the candidate set comes from
+    * [[annLsh]]'s bucket equi-join instead of the O(n²) loop — this query
+    * exists to pin the scoring semantics the LSH path must reproduce.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.999): DataFrame = {
+    val base = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    // Normalize ONCE per vector (persist barrier — otherwise CollapseProject
+    // inlines the norm into every element lambda and every pair re-pays it),
+    // so each of the O(n²) pairs costs a single dot product.
+    val all = base.unionByName(planted)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / norm(col("embedding"))).as("nv"))
+      .persist()
+    val l = all.select(col("vec_id").as("id_a"), col("nv").as("na"))
+    val r = all.select(col("vec_id").as("id_b"), col("nv").as("nb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(dot(col("na"), col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed hash mapped to {-1, +1} — reproducible on any cluster size.
     */

@@ -25,12 +25,18 @@ import scala.jdk.CollectionConverters._
   *    was written with; reads group buckets by schema version, read each
   *    group with its own schema, cast and `unionByName` up to the current
   *    schema (ADD COLUMN / Long→Double widening never force a table rewrite).
-  *  - **Key-hash bucketing for pruned MERGE**: the table is laid out as
-  *    `numBuckets` hash buckets of `conv_id` (`pmod(xxhash64(conv_id), n)`).
-  *    A MERGE rewrites only the buckets its batch keys touch — O(touched
-  *    data), not O(table) — the property that makes the design hold at
-  *    10^10 events / 100 TB. Bucket stats (rows, min/max key) are kept in
-  *    the snapshot for pruning and skew diagnostics.
+  *  - **Key-hash bucketing**: the table is laid out as `numBuckets` hash
+  *    buckets of `conv_id` (`pmod(xxhash64(conv_id), n)`). Bucket stats
+  *    (rows, min/max key) are kept in the snapshot for pruning and skew
+  *    diagnostics.
+  *  - **Merge-on-read deltas + deterministic compaction**: a MERGE appends
+  *    per-bucket *delta* files (O(batch) work); reads LWW-merge base+deltas
+  *    by max LSN; a bucket is compacted (base+deltas rewritten into a new
+  *    base) only when its delta volume crosses a deterministic threshold.
+  *    Per-batch cost is O(batch) amortized instead of O(table) — the
+  *    property that makes the design hold at 10^10 events / 100 TB, where
+  *    copy-on-write (rewrite every touched bucket every batch) would be
+  *    O(table × batches).
   *  - **Time travel**: any `vN.json` can be loaded and read (golden-table
   *    checkpoint checks).
   *
@@ -48,10 +54,15 @@ object IceLite {
   case class BucketEntry(dir: String, bucket: Int, rows: Long, schemaV: Int,
                          minKey: String, maxKey: String)
 
+  /** `buckets` = compacted base files; `deltas` = merge-on-read delta files
+    * appended since each bucket's last compaction (LWW-merged with the base
+    * on read, by `_lsn`).
+    */
   case class Snapshot(version: Int, schemaV: Int, numBuckets: Int,
                       schemas: Map[Int, StructType],
                       buckets: Seq[BucketEntry],
-                      committedBatches: Set[Long]) {
+                      committedBatches: Set[Long],
+                      deltas: Seq[BucketEntry] = Nil) {
     def schema: StructType = schemas(schemaV)
     /** Payload fields = stored schema minus keys and internal columns. */
     def payloadSchema: StructType =
@@ -108,8 +119,14 @@ object IceLite {
         b.get("schemaV").asInt(), b.get("minKey").asText(), b.get("maxKey").asText())
     }.toSeq
     val committed = root.get("committedBatches").elements().asScala.map(_.asLong()).toSet
+    val deltas =
+      if (root.has("deltas")) root.get("deltas").elements().asScala.map { b =>
+        BucketEntry(b.get("dir").asText(), b.get("bucket").asInt(), b.get("rows").asLong(),
+          b.get("schemaV").asInt(), b.get("minKey").asText(), b.get("maxKey").asText())
+      }.toSeq
+      else Nil
     Snapshot(root.get("version").asInt(), root.get("schemaV").asInt(),
-      root.get("numBuckets").asInt(), schemas, buckets, committed)
+      root.get("numBuckets").asInt(), schemas, buckets, committed, deltas)
   }
 
   // ---------------------------------------------------------------- commit
@@ -126,12 +143,16 @@ object IceLite {
     root.put("numBuckets", snap.numBuckets)
     val sn = root.putObject("schemas")
     snap.schemas.toSeq.sortBy(_._1).foreach { case (v, s) => sn.put(v.toString, s.json) }
-    val bn: ArrayNode = root.putArray("buckets")
-    snap.buckets.sortBy(_.bucket).foreach { b =>
-      val o = bn.addObject()
-      o.put("dir", b.dir); o.put("bucket", b.bucket); o.put("rows", b.rows)
-      o.put("schemaV", b.schemaV); o.put("minKey", b.minKey); o.put("maxKey", b.maxKey)
+    def putEntries(field: String, entries: Seq[BucketEntry]): Unit = {
+      val bn: ArrayNode = root.putArray(field)
+      entries.sortBy(e => (e.bucket, e.dir)).foreach { b =>
+        val o = bn.addObject()
+        o.put("dir", b.dir); o.put("bucket", b.bucket); o.put("rows", b.rows)
+        o.put("schemaV", b.schemaV); o.put("minKey", b.minKey); o.put("maxKey", b.maxKey)
+      }
     }
+    putEntries("buckets", snap.buckets)
+    putEntries("deltas", snap.deltas)
     val cn = root.putArray("committedBatches")
     snap.committedBatches.toSeq.sorted.foreach(cn.add)
 
@@ -148,26 +169,56 @@ object IceLite {
 
   // ------------------------------------------------------------------ read
 
-  /** Read the stored rows (internal columns included) of the given buckets,
-    * presented under the snapshot's current schema. Buckets written under
-    * older schema versions are read with their own schema and cast up —
-    * missing columns become nulls, widened columns are cast.
+  /** Read the stored state (internal columns included) of the given buckets,
+    * presented under the snapshot's current schema: last-writer-wins merge by
+    * `_lsn` of each bucket's base + delta files (merge-on-read). Buckets with
+    * no deltas skip the merge shuffle entirely — after compaction the common
+    * case is a plain pruned parquet scan. Files written under older schema
+    * versions are read with their own schema and cast up — missing columns
+    * become nulls, widened columns are cast.
     */
   def readStored(spark: SparkSession, path: String, snap: Snapshot,
                  buckets: Option[Set[Int]] = None): DataFrame = {
-    val want = buckets.map(bs => snap.buckets.filter(b => bs.contains(b.bucket)))
-      .getOrElse(snap.buckets)
+    def pick(es: Seq[BucketEntry]) =
+      buckets.map(bs => es.filter(e => bs.contains(e.bucket))).getOrElse(es)
+    val bases = pick(snap.buckets)
+    val deltas = pick(snap.deltas)
     val target = snap.schema
-    if (want.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    } else {
-      val bySchema = want.groupBy(_.schemaV)
-      bySchema.map { case (v, entries) =>
-        val s = snap.schemas(v)
-        val df = spark.read.schema(s).parquet(entries.map(e => s"$path/${e.dir}"): _*)
-        alignTo(df, target)
-      }.reduce(_.unionByName(_))
+    val dirtyBuckets = deltas.map(_.bucket).toSet
+    val clean = readEntries(spark, path, snap, bases.filterNot(e => dirtyBuckets.contains(e.bucket)))
+    val dirtyIn = bases.filter(e => dirtyBuckets.contains(e.bucket)) ++ deltas
+    val dirty = readEntries(spark, path, snap, dirtyIn).map(lwwReduce)
+    (clean, dirty) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
     }
+  }
+
+  /** Raw union of the given entries' files, aligned to the current schema
+    * (no LWW merge — callers that need merged state use [[readStored]]).
+    */
+  private[graft] def readEntries(spark: SparkSession, path: String, snap: Snapshot,
+                                 entries: Seq[BucketEntry]): Option[DataFrame] = {
+    if (entries.isEmpty) None
+    else Some(entries.groupBy(_.schemaV).map { case (v, es) =>
+      val s = snap.schemas(v)
+      val df = spark.read.schema(s).parquet(es.map(e => s"$path/${e.dir}"): _*)
+      alignTo(df, snap.schema)
+    }.reduce(_.unionByName(_)))
+  }
+
+  /** Last-writer-wins by `_lsn`: one row per (conv_id, turn_idx), the one
+    * with the highest LSN. `max_by` hash-aggregates with map-side partial
+    * aggregation, so a hot key collapses before the shuffle (skew-safe).
+    */
+  private[graft] def lwwReduce(df: DataFrame): DataFrame = {
+    val others = df.schema.fieldNames.filterNot(KeyCols.contains).toSeq
+    df.groupBy(KeyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(LsnCol)).as("_w"))
+      .select(KeyCols.map(col) ++ others.map(n => col("_w").getField(n).as(n)): _*)
   }
 
   /** Live rows under the public schema (tombstones and internals dropped). */

@@ -77,10 +77,13 @@ class PipelineGoldenSpec extends AnyFunSuite {
     // dead-letter routed the malformed lines (JSG:293-298 precedent)
     val dead = spark.read.parquet(s"$base/dead")
     assert(dead.count() == GoldenOracle.malformedCount(lines))
-    // lineage has one row per applied batch with offsets→snapshot mapping
-    val lineage = spark.read.parquet(s"$base/lineage")
+    // lineage has one row per applied batch with LSN-range→snapshot mapping
+    val lineage = spark.read.parquet(s"$base/lineage/batches")
     assert(lineage.count() == results.size)
-    assert(lineage.select("version").distinct().count() == results.size)
+    assert(lineage.select("batch.version").distinct().count() == results.size)
+    // per-bucket apply metrics exist for skew diagnostics
+    val buckets = lineage.select(explode(col("buckets")).as("b"))
+    assert(buckets.count() >= results.size) // ≥1 touched bucket per batch
   }
 
   test("schema evolution: model/tokens/score appear; score widened to double") {
