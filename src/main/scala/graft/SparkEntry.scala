@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BinaryDecoders, JsonSchemaRender}
+import graft.functions.{BinaryDecoders, JsonSchemaRender, StatusRange}
 import graft.ops.{CdcQueries, MultimodalOps, PageOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -48,7 +48,7 @@ object SparkEntry {
     // ---- filters / predicates / routing (§2.2 P1-P9) ----
     "filter_status_range" -> ((s, d) =>
       t(s, d, "events")
-        .filter(col("value").between(200.0, 299.0) || col("value") === 304.0)
+        .filter(StatusRange.predicate(col("value"), "200-299,304"))
         .select("event_id", "event_type", "value").orderBy("event_id")),
     "project_prune" -> ((s, d) =>
       t(s, d, "lineitem")

@@ -15,8 +15,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ReplayMain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
+    // Respect spark-submit's --master; fall back to env/local only when the
+    // launcher did not provide one (sbt runMain).
+    val submitted = new org.apache.spark.SparkConf().contains("spark.master")
+    val base = SparkSession.builder()
+    val withMaster =
+      if (submitted && !sys.env.contains("SPARK_MASTER")) base
+      else base.master(sys.env.getOrElse("SPARK_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
+    val spark = withMaster
       .appName("graft-cdc-replay")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
