@@ -167,6 +167,34 @@ object IceLite {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // ---------------------------------------------------------------- vacuum
+
+  /** Expire data directories referenced only by snapshots older than the
+    * last `keepVersions` (Iceberg's expire_snapshots analogue): deletes any
+    * top-level `data/vNNNNN-*` dir not referenced by a retained snapshot.
+    * Metadata JSONs are kept (they are tiny and hold the committed-batch
+    * log); time travel to an expired version will fail on data read, as in
+    * any lakehouse after snapshot expiry. Single-writer: run between
+    * commits. Returns the deleted dir names.
+    */
+  def vacuum(path: String, keepVersions: Int = 1): Seq[String] = {
+    val cur = load(path)
+    val retained = (math.max(0, cur.version - keepVersions + 1) to cur.version).flatMap { v =>
+      try Some(loadVersion(path, f"v$v%05d.json")) catch { case _: Exception => None }
+    }
+    val referenced: Set[String] = retained.flatMap(s =>
+      (s.buckets ++ s.deltas).map(_.dir.split("/").take(2).mkString("/"))).toSet
+    val dataDir = Paths.get(path, "data")
+    if (!Files.exists(dataDir)) return Nil
+    val victims = Files.list(dataDir).iterator().asScala
+      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
+      .toSeq
+    victims.foreach { p =>
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    }
+    victims.map(_.getFileName.toString).sorted
+  }
+
   // ------------------------------------------------------------------ read
 
   /** Read the stored state (internal columns included) of the given buckets,

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the declarative operators must produce the
+  * plans the 100 TB design depends on — parquet filter pushdown + column
+  * pruning, broadcast joins for small dims, equi-joins (never nested-loop)
+  * for LSH candidate generation, partial aggregation, whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** AQE's pre-execution string hides codegen spans; run the query so the
+    * final adaptive plan (with WholeStageCodegen ids) is inspectable.
+    */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("project_prune: filter pushed to parquet scan; only 3 columns read") {
+    val p = plan("project_prune")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_shipdate"),
+      s"filter not pushed down:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"),
+      s"column pruning missing:\n$p")
+    assert(!p.contains("l_quantity"), "reads columns the query never uses")
+  }
+
+  test("join_dim_broadcast: small dims broadcast, no shuffle join") {
+    val p = plan("join_dim_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join should not sort-merge:\n$p")
+  }
+
+  test("q1_pricing_summary: partial aggregation before the shuffle + codegen") {
+    val p = executedPlan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"map-side partial aggregation missing:\n$p")
+    // '*(n)' node prefixes are the WholeStageCodegen markers in plan strings
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), s"not codegen'd:\n$p")
+  }
+
+  test("dedup_minhash_lsh: band candidates come from an equi-join, not a nested loop") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"LSH must never cross-join:\n$p")
+  }
+
+  test("dedup_simhash: block candidates equi-join, no cartesian product") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct"), s"simhash must never cross-join:\n$p")
+  }
+
+  test("sim_cosine_topk: query side broadcast (small × huge corpus shape)") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must be the broadcast side:\n$p")
+  }
+
+  test("agg_count_by_type: partial aggregation + single shuffle") {
+    val p = plan("agg_count_by_type")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"map-side combine missing:\n$p")
+  }
+}
