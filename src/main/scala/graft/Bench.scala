@@ -72,11 +72,12 @@ object Bench {
         deadLetterDir = Some(s"$workDir/dead"),
         lineageDir = Some(s"$workDir/lineage"),
         numBuckets = 64, maxFilesPerTrigger = Some(32),
-        // Compact when a bucket's deltas reach its base size (amortized ~1
-        // compaction per key per doubling) — the realistic CDC cadence; the
-        // engine default is read-optimized (eager) and would compact nearly
-        // every batch here because the bench table is batch-sized.
-        policy = MergeApply.CompactionPolicy(factor = 1.0, minRows = 30000)))
+        // Compact when a bucket has absorbed changes ≈ its base size
+        // (amortized ~1 compaction per doubling) — the realistic CDC
+        // cadence; the engine default is read-optimized (eager) and would
+        // compact nearly every batch here because the bench table is
+        // batch-sized.
+        policy = MergeApply.CompactionPolicy(factor = 1.0, minRows = 120000)))
       val secs = (System.nanoTime() - t0) / 1e9
       (results.map(_.events).sum, secs)
     } finally spark.stop()

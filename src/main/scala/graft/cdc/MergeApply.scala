@@ -1,7 +1,7 @@
 package graft.cdc
 
 import graft.infer.{SchemaInfer, SchemaMerge}
-import graft.table.IceLite
+import graft.table.{IceLite, ParquetStats}
 import graft.table.IceLite.{BucketEntry, Snapshot}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,7 +41,7 @@ object MergeApply {
                          compactedBuckets: Int, compactedRows: Long,
                          minLsn: Long, maxLsn: Long,
                          schemaChanged: String, durationMs: Long,
-                         scanMs: Long = 0, deadMs: Long = 0, statsMs: Long = 0,
+                         scanMs: Long = 0, deadMs: Long = 0,
                          writeMs: Long = 0, compactMs: Long = 0)
 
   /** Per-bucket apply metrics for the lineage table (skew diagnostics). */
@@ -54,16 +54,21 @@ object MergeApply {
     */
   case class LineageRow(batch: ApplyResult, buckets: Seq[BucketMetric])
 
-  /** Per-partition partials of the fused scan (shipped driver-ward). */
+  /** Per-partition partials of the fused scan (shipped driver-ward).
+    * `buckets` carries per-bucket pre-reduce row counts — an upper bound on
+    * delta rows that drives the compaction decision without a stats job.
+    */
   case class PartScan(schemaJson: String, events: Long, envBad: Long, payloadBad: Long,
-                      buckets: Seq[Int], minLsn: Long, maxLsn: Long)
+                      buckets: Seq[(Int, Long)], minLsn: Long, maxLsn: Long)
 
   /** Compaction policy — deterministic functions of snapshot + batch stats.
-    * A bucket compacts when its pending delta rows exceed
+    * A bucket compacts when the change volume it has absorbed since its
+    * last compaction (stored delta rows + this batch's DELIVERED changes,
+    * pre-LWW-reduce — known from the scan, no stats job) exceeds
     * `minRows + factor × baseRows`, or when it has accumulated more than
     * `maxDeltaFiles` delta entries (read-amplification bound).
     */
-  case class CompactionPolicy(factor: Double = 0.3, minRows: Long = 20000,
+  case class CompactionPolicy(factor: Double = 0.5, minRows: Long = 50000,
                               maxDeltaFiles: Int = 8)
 
   private val reservedNames =
@@ -115,7 +120,7 @@ object MergeApply {
 
       val events = scan.events
       val malformed = scan.envBad + scan.payloadBad
-      val touched = scan.buckets
+      val touched = scan.buckets.keySet
       val minLsn = scan.minLsn
       val maxLsn = scan.maxLsn
 
@@ -155,35 +160,43 @@ object MergeApply {
         Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
           payloadNames.map(n => col("_p").getField(n).cast(mergedPayload(n).dataType).as(n)) ++
           Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol)): _*)
-      val reduced = IceLite.lwwReduce(changes)
+
+      // Compaction decision from snapshot state + the scan's per-bucket
+      // pre-reduce counts (an upper bound on delta rows: duplicate
+      // deliveries and multi-updates collapse in the reduce — the bias only
+      // compacts slightly earlier). No dedicated stats job; per-bucket
+      // EXACT rows and key bounds come from the parquet footers after the
+      // write, the way a lakehouse builds manifests.
+      val estRows: Map[Int, Long] = scan.buckets
+      val pendingRows: Map[Int, Long] = snap.deltas.groupBy(_.bucket)
+        .map { case (b, es) => b -> es.map(_.rows).sum }
+      val pendingFiles: Map[Int, Int] =
+        snap.deltas.groupBy(_.bucket).map { case (b, es) => b -> es.size }
+      val baseRows: Map[Int, Long] = snap.buckets.groupBy(_.bucket)
+        .map { case (b, es) => b -> es.map(_.rows).sum }
+      val toCompact: Set[Int] = touched.filter { b =>
+        val pend = pendingRows.getOrElse(b, 0L) + estRows.getOrElse(b, 0L)
+        val files = pendingFiles.getOrElse(b, 0) + 1
+        pend >= policy.minRows + (policy.factor * baseRows.getOrElse(b, 0L)).toLong ||
+          files > policy.maxDeltaFiles
+      }
+
+      // The reduced batch has two consumers only when compaction triggers.
+      val reducedPlain = IceLite.lwwReduce(changes)
         .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val reduced = if (toCompact.nonEmpty) reducedPlain.persist(StorageLevel.MEMORY_AND_DISK)
+                    else reducedPlain
 
       try {
         val newVersion = snap.version + 1
-        // Per-bucket delta stats drive the compaction decision BEFORE any write.
-        val tStats0 = System.nanoTime()
-        val stats = bucketStats(reduced)
-        val tStats = ms(tStats0)
-        val pendingRows: Map[Int, Long] = snap.deltas.groupBy(_.bucket)
-          .map { case (b, es) => b -> es.map(_.rows).sum }
-        val pendingFiles: Map[Int, Int] =
-          snap.deltas.groupBy(_.bucket).map { case (b, es) => b -> es.size }
-        val baseRows: Map[Int, Long] = snap.buckets.groupBy(_.bucket)
-          .map { case (b, es) => b -> es.map(_.rows).sum }
-        val toCompact: Set[Int] = touched.filter { b =>
-          val pend = pendingRows.getOrElse(b, 0L) + stats.get(b).map(_._1).getOrElse(0L)
-          val files = pendingFiles.getOrElse(b, 0) + 1
-          pend >= policy.minRows + (policy.factor * baseRows.getOrElse(b, 0L)).toLong ||
-            files > policy.maxDeltaFiles
-        }
+        val hconf = spark.sessionState.newHadoopConf()
 
         // ---- delta append for non-compacting buckets (O(batch), no reads)
         val tWrite0 = System.nanoTime()
         val deltaDir = f"data/v$newVersion%05d-delta"
-        val deltaPart = reduced.filter(!col(IceLite.BucketCol).isin(toCompact.toSeq: _*))
-        val deltaStats = stats.filterNot { case (b, _) => toCompact.contains(b) }
-        if (deltaStats.nonEmpty) {
+        val deltaBuckets = touched -- toCompact
+        val newDeltaEntries: Seq[BucketEntry] = if (deltaBuckets.nonEmpty) {
+          val deltaPart = reduced.filter(!col(IceLite.BucketCol).isin(toCompact.toSeq: _*))
           // Repartition by bucket → exactly one task (and one file) per
           // bucket per batch. Without this, every shuffle partition writes a
           // file into every bucket dir (partitions × buckets tiny files —
@@ -197,10 +210,12 @@ object MergeApply {
             .write.mode(SaveMode.Overwrite)
             .partitionBy(IceLite.BucketCol)
             .parquet(s"$tablePath/$deltaDir")
-        }
-        val newDeltaEntries = deltaStats.map { case (b, (rows, minK, maxK)) =>
-          BucketEntry(s"$deltaDir/${IceLite.BucketCol}=$b", b, rows, newSchemaV, minK, maxK)
-        }.toSeq
+          ParquetStats.bucketDirStats(hconf, s"$tablePath/$deltaDir", "conv_id").toSeq
+            .map { case (b, st) =>
+              BucketEntry(s"$deltaDir/${IceLite.BucketCol}=$b", b, st.rows, newSchemaV,
+                st.minKey, st.maxKey)
+            }
+        } else Nil
         val tWrite = ms(tWrite0)
 
         // ---- compaction: LWW-merge base + pending deltas + this batch's rows
@@ -213,26 +228,24 @@ object MergeApply {
           val batchIn = deltaShapeToStored(reduced.filter(col(IceLite.BucketCol).isin(toCompact.toSeq: _*)), snapAligned)
           val merged = IceLite.lwwReduce(storedIn.map(_.unionByName(batchIn)).getOrElse(batchIn))
             .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            // One task per bucket, salted by conv_id when the compaction is
-            // large so a hot bucket rewrite parallelizes across `salt` tasks
-            // (deterministic: derived from snapshot stats, not runtime state).
-            val rowsIn = (snap.buckets ++ snap.deltas)
-              .filter(e => toCompact.contains(e.bucket)).map(_.rows).sum +
-              toCompact.toSeq.flatMap(stats.get).map(_._1).sum
-            val salt = math.max(1L, math.min(16L, rowsIn / 2000000L)).toInt
-            merged.repartition(col(IceLite.BucketCol), pmod(xxhash64(col("conv_id")), lit(salt)))
-              .sortWithinPartitions("conv_id", "turn_idx")
-              .write.mode(SaveMode.Overwrite)
-              .partitionBy(IceLite.BucketCol)
-              .parquet(s"$tablePath/$baseDir")
-            val cstats = bucketStats(merged)
-            val entries = cstats.map { case (b, (rows, minK, maxK)) =>
-              BucketEntry(s"$baseDir/${IceLite.BucketCol}=$b", b, rows, newSchemaV, minK, maxK)
-            }.toSeq
-            (entries, entries.map(_.rows).sum)
-          } finally merged.unpersist()
+          // One task per bucket, salted by conv_id when the compaction is
+          // large so a hot bucket rewrite parallelizes across `salt` tasks
+          // (deterministic: derived from snapshot stats, not runtime state).
+          val rowsIn = (snap.buckets ++ snap.deltas)
+            .filter(e => toCompact.contains(e.bucket)).map(_.rows).sum +
+            toCompact.toSeq.flatMap(estRows.get).sum
+          val salt = math.max(1L, math.min(16L, rowsIn / 2000000L)).toInt
+          merged.repartition(col(IceLite.BucketCol), pmod(xxhash64(col("conv_id")), lit(salt)))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy(IceLite.BucketCol)
+            .parquet(s"$tablePath/$baseDir")
+          val entries = ParquetStats.bucketDirStats(hconf, s"$tablePath/$baseDir", "conv_id").toSeq
+            .map { case (b, st) =>
+              BucketEntry(s"$baseDir/${IceLite.BucketCol}=$b", b, st.rows, newSchemaV,
+                st.minKey, st.maxKey)
+            }
+          (entries, entries.map(_.rows).sum)
         } else (Nil, 0L)
         val tCompact = ms(tCompact0)
 
@@ -249,14 +262,14 @@ object MergeApply {
         val res = ApplyResult(batchId, committed = true, newVersion, events, appliedCnt,
           malformed, touched.size, deltaRows, toCompact.size, compactedRows,
           minLsn, maxLsn, schemaDiff.toString, (System.nanoTime() - t0) / 1000000,
-          scanMs = tScan, deadMs = tDead, statsMs = tStats, writeMs = tWrite,
-          compactMs = tCompact)
+          scanMs = tScan, deadMs = tDead, writeMs = tWrite, compactMs = tCompact)
         lineageDir.foreach { dir =>
           val afterRows = (newSnap.buckets ++ newSnap.deltas).groupBy(_.bucket)
             .map { case (b, es) => b -> es.map(_.rows).sum }
           val afterFiles = newSnap.deltas.groupBy(_.bucket).map { case (b, es) => b -> es.size }
+          val exactDelta = newDeltaEntries.map(e => e.bucket -> e.rows).toMap
           val perBucket = touched.toSeq.sorted.map { b =>
-            BucketMetric(batchId, b, stats.get(b).map(_._1).getOrElse(0L),
+            BucketMetric(batchId, b, exactDelta.getOrElse(b, estRows.getOrElse(b, 0L)),
               toCompact.contains(b), afterRows.getOrElse(b, 0L), afterFiles.getOrElse(b, 0))
           }
           writeLineage(spark, dir, res, perBucket)
@@ -266,23 +279,15 @@ object MergeApply {
     } finally parsed.unpersist()
   }
 
-  /** (bucket → (rows, minKey, maxKey)) of a reduced batch — cheap agg on the
-    * cached result; at cluster scale these come from task-side write metrics.
-    */
-  private def bucketStats(df: DataFrame): Map[Int, (Long, String, String)] =
-    df.groupBy(col(IceLite.BucketCol))
-      .agg(count(lit(1)).as("rows"), min("conv_id").as("minK"), max("conv_id").as("maxK"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2), r.getString(3))))
-      .toMap
-
   /** Reduced-batch rows → stored-file column order (drop the bucket col). */
   private def deltaShapeToStored(df: DataFrame, snap: Snapshot): DataFrame =
     df.select(snap.schema.fieldNames.map(col).toSeq: _*)
 
-  /** Merged result of the fused batch scan. */
+  /** Merged result of the fused batch scan; `buckets` = per-bucket
+    * pre-reduce row counts.
+    */
   private case class BatchScan(schema: StructType, events: Long, envBad: Long,
-                               payloadBad: Long, buckets: Set[Int],
+                               payloadBad: Long, buckets: Map[Int, Long],
                                minLsn: Long, maxLsn: Long)
 
   /** Distributed payload-schema inference FUSED with batch metrics: one pass
@@ -305,7 +310,7 @@ object MergeApply {
       var inferred = 0
       var events = 0L; var envBad = 0L; var payloadBad = 0L
       var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
-      val buckets = scala.collection.mutable.Set.empty[Int]
+      val buckets = scala.collection.mutable.Map.empty[Int, Long]
       var idx: Array[Int] = null
       it.foreach { row =>
         if (idx == null) {
@@ -332,20 +337,24 @@ object MergeApply {
             val lsn = row.getLong(idx(1))
             if (lsn < minLsn) minLsn = lsn
             if (lsn > maxLsn) maxLsn = lsn
-            buckets += row.getInt(idx(4))
+            val b = row.getInt(idx(4))
+            buckets(b) = buckets.getOrElse(b, 0L) + 1
           }
         }
       }
       Iterator.single(PartScan(schema.json, events, envBad, payloadBad,
-        buckets.toSeq.sorted, minLsn, maxLsn))
+        buckets.toSeq.sortBy(_._1), minLsn, maxLsn))
     }(Encoders.product[PartScan]).collect()
 
-    partials.foldLeft(BatchScan(new StructType(), 0, 0, 0, Set.empty, Long.MaxValue, Long.MinValue)) {
+    partials.foldLeft(BatchScan(new StructType(), 0, 0, 0, Map.empty, Long.MaxValue, Long.MinValue)) {
       (acc, p) =>
+        val mergedBuckets = p.buckets.foldLeft(acc.buckets) { case (m, (b, n)) =>
+          m + (b -> (m.getOrElse(b, 0L) + n))
+        }
         BatchScan(
           SchemaMerge.mergeStruct(acc.schema, DataType.fromJson(p.schemaJson).asInstanceOf[StructType]),
           acc.events + p.events, acc.envBad + p.envBad, acc.payloadBad + p.payloadBad,
-          acc.buckets ++ p.buckets,
+          mergedBuckets,
           math.min(acc.minLsn, p.minLsn), math.max(acc.maxLsn, p.maxLsn))
     } match {
       case b if b.minLsn == Long.MaxValue => b.copy(minLsn = 0L, maxLsn = 0L)
