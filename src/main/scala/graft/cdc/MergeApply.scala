@@ -147,7 +147,7 @@ object MergeApply {
         // Nothing applies (all malformed / empty batch) — still record the epoch.
         val newSnap = snap.copy(version = snap.version + 1, schemaV = newSchemaV,
           schemas = schemas, committedBatches = snap.committedBatches + batchId)
-        IceLite.writeSnapshot(tablePath, newSnap)
+        IceLite.commitSnapshot(tablePath, newSnap)
         val res = ApplyResult(batchId, committed = true, newSnap.version, events, 0, malformed,
           0, 0, 0, 0, minLsn, maxLsn, schemaDiff.toString, (System.nanoTime() - t0) / 1000000)
         lineageDir.foreach(writeLineage(spark, _, res, Nil))
@@ -257,7 +257,7 @@ object MergeApply {
         val newSnap = Snapshot(newVersion, newSchemaV, snap.numBuckets, schemas,
           keptBases ++ newBaseEntries, snap.committedBatches + batchId,
           keptDeltas ++ newDeltaEntries)
-        IceLite.writeSnapshot(tablePath, newSnap)
+        IceLite.commitSnapshot(tablePath, newSnap)
 
         val res = ApplyResult(batchId, committed = true, newVersion, events, appliedCnt,
           malformed, touched.size, deltaRows, toCompact.size, compactedRows,

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * InsecureLDAPProcessor.java:541-585; HTTP pagination
   * InsecureInvokeHTTP.java:1291-1507) maps to the file source's offset log:
   * restart resumes from the checkpoint, and MergeApply's batchId-keyed
-  * idempotent commits make the sink exactly-once under replay.
+  * idempotent commits make the sink exactly-once under replay — the
+  * epoch-tagged idempotent-sink recipe of the Structured Streaming paper
+  * (Armbrust et al., "Structured Streaming: A Declarative API for Real-Time
+  * Applications in Apache Spark", SIGMOD 2018, §prefix integrity).
   */
 object Pipeline {
 

@@ -131,10 +131,26 @@ object IceLite {
 
   // ---------------------------------------------------------------- commit
 
+  /** Commit with optimistic concurrency: the table is single-writer (one
+    * streaming driver), and this guard turns an accidental second writer
+    * into a loud failure instead of silent lost updates — the commit is
+    * refused unless `_current` still points at the snapshot the writer
+    * loaded (CAS on the pointer, Iceberg's commit rule).
+    */
+  def commitSnapshot(path: String, snap: Snapshot): Unit = {
+    val cur = new String(Files.readAllBytes(Paths.get(path, "meta", "_current")), "UTF-8").trim
+    val expected = f"v${snap.version - 1}%05d.json"
+    if (cur != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"icelite commit conflict at $path: _current=$cur, expected $expected " +
+          "(another writer committed since this batch loaded the snapshot)")
+    writeSnapshot(path, snap)
+  }
+
   /** Write snapshot JSON atomically and swing the `_current` pointer.
-    * Single-writer (the streaming driver); the atomic move is the commit
-    * point — a crash before it leaves the previous snapshot intact and the
-    * batch uncommitted (it will be replayed idempotently).
+    * The atomic move is the commit point — a crash before it leaves the
+    * previous snapshot intact and the batch uncommitted (it will be
+    * replayed idempotently). Use [[commitSnapshot]] for guarded commits.
     */
   def writeSnapshot(path: String, snap: Snapshot): Unit = {
     val root: ObjectNode = mapper.createObjectNode()

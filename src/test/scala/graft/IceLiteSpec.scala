@@ -27,9 +27,21 @@ class IceLiteSpec extends AnyFunSuite {
     val dir = TestSpark.freshDir("icelite-commit")
     val s0 = IceLite.create(dir, payload, numBuckets = 8)
     val s1 = s0.copy(version = 1, committedBatches = Set(0L))
-    IceLite.writeSnapshot(dir, s1)
+    IceLite.commitSnapshot(dir, s1)
     assert(IceLite.load(dir).version == 1)
     assert(IceLite.loadVersion(dir, "v00000.json").version == 0)
+  }
+
+  test("commit refuses when another writer advanced _current (optimistic CAS)") {
+    val dir = TestSpark.freshDir("icelite-cas")
+    val s0 = IceLite.create(dir, payload, numBuckets = 8)
+    // Writer A and writer B both load v0 and build v1; A commits first.
+    IceLite.commitSnapshot(dir, s0.copy(version = 1, committedBatches = Set(0L)))
+    val b = s0.copy(version = 1, committedBatches = Set(99L))
+    intercept[java.util.ConcurrentModificationException] {
+      IceLite.commitSnapshot(dir, b)
+    }
+    assert(IceLite.load(dir).committedBatches == Set(0L)) // A's commit intact
   }
 
   test("readStored groups by schema version and casts up (evolution-safe reads)") {

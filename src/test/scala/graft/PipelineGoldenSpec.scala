@@ -147,6 +147,30 @@ class PipelineGoldenSpec extends AnyFunSuite {
     assertMatchesOracle(s"$base/table", lines)
   }
 
+  test("bit-identical state across parallelism levels (the two-cluster-size rule)") {
+    val base = TestSpark.freshDir("golden-par")
+    val feed = s"$base/feed"
+    genFeed(feed)
+    def replayWith(shuffle: Int, table: String, mfpt: Option[Int]): Unit = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shuffle.toString)
+      try Pipeline.replay(spark, Pipeline.Config(feed, table, s"$table-ckpt",
+        numBuckets = 8, maxFilesPerTrigger = mfpt))
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    replayWith(3, s"$base/tableA", Some(2))
+    replayWith(7, s"$base/tableB", None) // different parallelism AND batching
+    def stored(t: String): Set[String] = {
+      val df = graft.table.IceLite.readStored(spark, t, graft.table.IceLite.load(t))
+      // field ORDER may differ when batching changes schema-evolution
+      // encounter order; the logical state must not.
+      val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col _)
+      df.select(cols.toSeq: _*).collect().map(_.toString).toSet
+    }
+    assert(stored(s"$base/tableA") == stored(s"$base/tableB"),
+      "final stored state (incl. _lsn/_deleted) must not depend on parallelism or batching")
+  }
+
   test("fresh-checkpoint re-replay over an existing table still converges (LWW idempotence)") {
     val base = TestSpark.freshDir("golden-rereplay")
     val feed = s"$base/feed"
