@@ -61,9 +61,48 @@ class JsonSchemaRenderSpec extends AnyFunSuite {
     assert(p.get("xs").get("type").asText() == "array")
     assert(!p.get("xs").get("items").fieldNames().hasNext) // {} — JSG:538-541
     assert(p.get("n").get("type").asText() == "null")
-    // mixed-type array degrades via the merge lattice to string (JSG:512-515)
-    assert(p.get("mixed").get("items").get("type").asText() == "string")
+    // mixed-type array → untyped item schema (JSG:533-536)
+    assert(!p.get("mixed").get("items").has("type"))
     assert(JsonSchemaRender.forDocument("not json").isEmpty)
     assert(JsonSchemaRender.forDocument("[1,2]").isEmpty) // non-object root
+  }
+
+  test("required lists non-null present fields when requireAllFields (JSG:447-449,477-479)") {
+    val doc = """{"a":1,"b":null,"c":"x"}"""
+    val got = parse(JsonSchemaRender.forDocument(doc,
+      JsonSchemaRender.Options(requireAllFields = true)).get)
+    val req = got.get("required")
+    assert(req != null && req.size() == 2)
+    val names = (0 until req.size()).map(req.get(_).asText()).toSet
+    assert(names == Set("a", "c"))
+  }
+
+  test("value-derived constraints: maxLength ≤100 (JSG:629-632), integer minimum (JSG:589-598)") {
+    val long101 = "x" * 101
+    val doc = s"""{"s":"short","big":"$long101","pos":5,"neg":-3}"""
+    val p = parse(JsonSchemaRender.forDocument(doc).get).get("properties")
+    assert(p.get("s").get("maxLength").asInt() == 100)
+    assert(!p.get("big").has("maxLength")) // outlier rule
+    assert(p.get("pos").get("minimum").asLong() == 0L)
+    assert(p.get("neg").get("minimum").asLong() == Long.MinValue)
+  }
+
+  test("examples: primitive 'example', array 'examples' first-of-large (JSG:638-651)") {
+    val doc = """{"s":"hello","n":7,"big":[1,2,3,4],"small":[1,2]}"""
+    val p = parse(JsonSchemaRender.forDocument(doc,
+      JsonSchemaRender.Options(includeExamples = true)).get).get("properties")
+    assert(p.get("s").get("example").asText() == "hello")
+    assert(p.get("n").get("example").asInt() == 7)
+    assert(p.get("big").get("examples").get(0).asInt() == 1)   // size>2 → first element
+    assert(p.get("small").get("examples").get(0).isArray)      // size≤2 → whole array
+  }
+
+  test("inferFieldTypes=false renders everything as string (JSG type inference toggle)") {
+    val doc = """{"a":1,"b":true,"xs":[1,2]}"""
+    val p = parse(JsonSchemaRender.forDocument(doc,
+      JsonSchemaRender.Options(inferFieldTypes = false)).get).get("properties")
+    assert(p.get("a").get("type").asText() == "string")
+    assert(p.get("b").get("type").asText() == "string")
+    assert(p.get("xs").get("items").get("type").asText() == "string")
   }
 }
