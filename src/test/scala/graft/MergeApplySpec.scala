@@ -65,6 +65,21 @@ class MergeApplySpec extends AnyFunSuite {
     assert(IceLite.load(dir).deltas.isEmpty)
   }
 
+  test("all-malformed batch: epoch still committed (exactly-once), no data written") {
+    val dir = TestSpark.freshDir("ma-allbad")
+    IceLite.create(dir, numBuckets = 2)
+    val r = MergeApply.applyRaw(spark, dir,
+      lines("not json at all", """{"op":"X","lsn":1,"conv_id":"a","turn_idx":0}"""), 0L,
+      deadLetterDir = Some(s"$dir/_dead"))
+    assert(r.committed && r.events == 2 && r.malformed == 2 && r.applied == 0)
+    val snap = IceLite.load(dir)
+    assert(snap.version == 1 && snap.committedBatches == Set(0L))
+    assert(snap.buckets.isEmpty && snap.deltas.isEmpty)
+    assert(spark.read.parquet(s"$dir/_dead").count() == 2)
+    // replaying the committed empty epoch is a no-op
+    assert(!MergeApply.applyRaw(spark, dir, lines("not json at all"), 0L).committed)
+  }
+
   test("crash between data write and snapshot commit → replay converges (exactly-once)") {
     val dir = TestSpark.freshDir("ma-crash")
     IceLite.create(dir, numBuckets = 2)
