@@ -275,7 +275,7 @@ object IceLite {
     val publicCols = snap.schema.fieldNames.filterNot(n => n == LsnCol || n == DeletedCol)
     readStored(spark, path, snap)
       .filter(!col(DeletedCol))
-      .select(publicCols.map(col): _*)
+      .select(publicCols.toIndexedSeq.map(col): _*)
   }
 
   /** Cast/extend a DataFrame written under an older schema to `target`:
@@ -287,6 +287,6 @@ object IceLite {
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
-    df.select(cols: _*)
+    df.select(cols.toIndexedSeq: _*)
   }
 }

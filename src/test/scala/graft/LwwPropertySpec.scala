@@ -74,7 +74,9 @@ class LwwPropertySpec extends AnyFunSuite {
       Prop(once == want) :| s"after first apply: got=$once want=$want" &&
         Prop(twice == want) :| s"after re-apply: got=$twice want=$want"
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    // GRAFT_FUZZ_N overrides the case count for extended one-off fuzz runs.
+    val n = sys.env.getOrElse("GRAFT_FUZZ_N", "8").toInt
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
     assert(res.passed, res.status.toString)
   }
 }
