@@ -120,10 +120,11 @@ object Bench {
       System.err.println(f"[bench] replay at $cores: ${a._2}%.1fs / ${b._2}%.1fs")
       if (a._2 <= b._2) a else b
     }
-    // N=2 runs once: measured repeats agree within 1.5% (it needs only 2
-    // free host cores), and skipping its second run keeps the whole bench
-    // comfortably inside the driver's budget.
-    val (evN, secN) = replayAt(2, feedDir, warmFeed, s"$work/run2")
+    // Best-of-2 at BOTH levels: taking the fastest N run is the
+    // conservative choice — a co-tenant spike hitting the baseline would
+    // otherwise inflate the efficiency ratio (observed: one slow N=2 run
+    // read 0.916 where tight repeats read 0.840).
+    val (evN, secN) = bestOf2(2, s"$work/run2")
     val (ev4N, sec4N) = bestOf2(8, s"$work/run8")
     val (evP, secP) = replayAt(32, feedDir, warmFeed, s"$work/run32") // peak
     val epsN = evN / math.max(secN, 1e-9)

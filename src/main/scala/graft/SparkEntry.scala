@@ -82,6 +82,12 @@ object SparkEntry {
     "sort_limit_topk" -> ((s, d) =>
       t(s, d, "events").orderBy(col("value").desc, col("event_id")).limit(10)
         .select("event_id", "value")),
+    "window_tumbling" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        .select(col("window.start").as("w_start"), col("n"), col("total"))
+        .orderBy("w_start")),
 
     // ---- set ops (§2.7) ----
     "set_union_pages" -> ((s, d) => {
@@ -251,6 +257,10 @@ object SparkEntry {
     "sort_limit_topk" ->
       """SELECT event_id, "value" FROM events
         |ORDER BY "value" DESC, event_id LIMIT 10""".stripMargin,
+    "window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+        |       count(*) AS n, round(sum("value"), 4) AS total
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
     "set_union_pages" ->
       """SELECT * FROM (
         |  SELECT event_id, 'p1' AS page FROM events WHERE event_type = 'click'
