@@ -142,6 +142,9 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+        // Drop persisted intermediates (LSH signatures etc.) so cached blocks
+        // never accumulate across the ~40 queries and distort later timings.
+        finally spark.catalog.clearCache()
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-24s $secs%.2fs")
         name -> secs

@@ -124,11 +124,17 @@ object MergeApply {
       val minLsn = scan.minLsn
       val maxLsn = scan.maxLsn
 
-      // ---- payload parse; JSON-object parse failure → dead letter
+      // ---- payload parse; JSON-object parse failure → dead letter.
+      // The object-root requirement keeps this check consistent with the
+      // scan's inferDocument (JSG:293-298): from_json alone also accepts a
+      // top-level JSON array (returning its first element), which the scan
+      // counts as malformed — without the root check such rows would be
+      // silently applied instead of dead-lettered.
       val withPayload = parsed.withColumn("_p",
         from_json(col("after"), mergedPayload))
         .withColumn("_payload_bad",
-          !col("_env_bad") && col("op") =!= "D" && col("after").isNotNull && col("_p").isNull)
+          !col("_env_bad") && col("op") =!= "D" && col("after").isNotNull &&
+            (col("_p").isNull || !ltrim(col("after")).startsWith("{")))
         .withColumn("_bad", col("_env_bad") || col("_payload_bad"))
 
       val tDead0 = System.nanoTime()

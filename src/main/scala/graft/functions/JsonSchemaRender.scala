@@ -98,8 +98,13 @@ object JsonSchemaRender {
       if (firstType == "object" || firstType == "array") {
         if (consistent) analyze(items, n.get(0), opts)
         // else: unconstrained items (JSG:512-515)
-      } else if (consistent) {
-        items.put("type", if (opts.inferFieldTypes) firstType else "string")
+      } else {
+        // With inferFieldTypes=false the reference compares each sampled
+        // item's type against the COERCED type ("string"), so e.g. an array
+        // of integers yields an untyped items schema — only arrays of actual
+        // strings stay typed (JSG:518-536).
+        val target = if (opts.inferFieldTypes) firstType else "string"
+        if (consistent && firstType == target) items.put("type", target)
       } // else: mixed simple types → untyped items (JSG:533-536)
     } // else: empty array → generic item schema (JSG:538-541)
     if (opts.includeExamples && n.size() > 0) {

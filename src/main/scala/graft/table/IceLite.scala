@@ -135,16 +135,40 @@ object IceLite {
     * streaming driver), and this guard turns an accidental second writer
     * into a loud failure instead of silent lost updates — the commit is
     * refused unless `_current` still points at the snapshot the writer
-    * loaded (CAS on the pointer, Iceberg's commit rule).
+    * loaded, AND the version file itself is claimed with a no-replace
+    * rename (the filesystem-level CAS, Iceberg's commit rule): two writers
+    * racing to the same version cannot both land `vNNNNN.json`.
+    *
+    * Crash recovery still works: a retry after a crash between the version
+    * file write and the `_current` swing finds the stale `vNNNNN.json` with
+    * `_current` still at the previous version, and reclaims it (the commit
+    * point is the pointer swing, so the stale file was never committed).
     */
   def commitSnapshot(path: String, snap: Snapshot): Unit = {
-    val cur = new String(Files.readAllBytes(Paths.get(path, "meta", "_current")), "UTF-8").trim
+    val metaDir = Paths.get(path, "meta")
+    def currentNow(): String =
+      new String(Files.readAllBytes(metaDir.resolve("_current")), "UTF-8").trim
     val expected = f"v${snap.version - 1}%05d.json"
-    if (cur != expected)
-      throw new java.util.ConcurrentModificationException(
-        s"icelite commit conflict at $path: _current=$cur, expected $expected " +
-          "(another writer committed since this batch loaded the snapshot)")
-    writeSnapshot(path, snap)
+    def conflict(cur: String) = new java.util.ConcurrentModificationException(
+      s"icelite commit conflict at $path: _current=$cur, expected $expected " +
+        "(another writer committed since this batch loaded the snapshot)")
+    if (currentNow() != expected) throw conflict(currentNow())
+
+    val name = f"v${snap.version}%05d.json"
+    val tmp = metaDir.resolve(name + ".tmp")
+    Files.write(tmp, snapshotBytes(snap))
+    try Files.move(tmp, metaDir.resolve(name)) // no REPLACE: claims the version
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val cur2 = currentNow()
+        // Version file exists but was never committed (pointer still at the
+        // previous version) → stale leftover of OUR crashed attempt; reclaim.
+        // A competing writer that completed its commit moved the pointer and
+        // is detected here instead of being silently overwritten.
+        if (cur2 != expected) { Files.deleteIfExists(tmp); throw conflict(cur2) }
+        Files.move(tmp, metaDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    swingCurrent(metaDir, name)
   }
 
   /** Write snapshot JSON atomically and swing the `_current` pointer.
@@ -153,6 +177,22 @@ object IceLite {
     * replayed idempotently). Use [[commitSnapshot]] for guarded commits.
     */
   def writeSnapshot(path: String, snap: Snapshot): Unit = {
+    val metaDir = Paths.get(path, "meta")
+    val name = f"v${snap.version}%05d.json"
+    val tmp = metaDir.resolve(name + ".tmp")
+    Files.write(tmp, snapshotBytes(snap))
+    Files.move(tmp, metaDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    swingCurrent(metaDir, name)
+  }
+
+  private def swingCurrent(metaDir: Path, name: String): Unit = {
+    val curTmp = metaDir.resolve("_current.tmp")
+    Files.write(curTmp, name.getBytes("UTF-8"))
+    Files.move(curTmp, metaDir.resolve("_current"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def snapshotBytes(snap: Snapshot): Array[Byte] = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("version", snap.version)
     root.put("schemaV", snap.schemaV)
@@ -171,16 +211,7 @@ object IceLite {
     putEntries("deltas", snap.deltas)
     val cn = root.putArray("committedBatches")
     snap.committedBatches.toSeq.sorted.foreach(cn.add)
-
-    val metaDir = Paths.get(path, "meta")
-    val name = f"v${snap.version}%05d.json"
-    val tmp = metaDir.resolve(name + ".tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    Files.move(tmp, metaDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-    val curTmp = metaDir.resolve("_current.tmp")
-    Files.write(curTmp, name.getBytes("UTF-8"))
-    Files.move(curTmp, metaDir.resolve("_current"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
 
   // ---------------------------------------------------------------- vacuum
@@ -190,8 +221,13 @@ object IceLite {
     * top-level `data/vNNNNN-*` dir not referenced by a retained snapshot.
     * Metadata JSONs are kept (they are tiny and hold the committed-batch
     * log); time travel to an expired version will fail on data read, as in
-    * any lakehouse after snapshot expiry. Single-writer: run between
-    * commits. Returns the deleted dir names.
+    * any lakehouse after snapshot expiry. Returns the deleted dir names.
+    *
+    * Safe against an in-flight writer: dirs whose encoded version is GREATER
+    * than the current snapshot's belong to an uncommitted (in-flight or
+    * crashed) future commit — they are skipped, never deleted (a crashed
+    * attempt's files are reclaimed by the retry's Overwrite write instead).
+    * Unparseable dir names are also left alone.
     */
   def vacuum(path: String, keepVersions: Int = 1): Seq[String] = {
     val cur = load(path)
@@ -202,8 +238,13 @@ object IceLite {
       (s.buckets ++ s.deltas).map(_.dir.split("/").take(2).mkString("/"))).toSet
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) return Nil
+    val verRe = "^v(\\d+)".r
     val victims = Files.list(dataDir).iterator().asScala
-      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
+      .filter { p =>
+        val name = p.getFileName.toString
+        val ver = verRe.findFirstMatchIn(name).map(_.group(1).toInt)
+        !referenced.contains(s"data/$name") && ver.exists(_ <= cur.version)
+      }
       .toSeq
     victims.foreach { p =>
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -98,11 +98,15 @@ class JsonSchemaRenderSpec extends AnyFunSuite {
   }
 
   test("inferFieldTypes=false renders everything as string (JSG type inference toggle)") {
-    val doc = """{"a":1,"b":true,"xs":[1,2]}"""
+    val doc = """{"a":1,"b":true,"xs":[1,2],"ss":["x","y"]}"""
     val p = parse(JsonSchemaRender.forDocument(doc,
       JsonSchemaRender.Options(inferFieldTypes = false)).get).get("properties")
     assert(p.get("a").get("type").asText() == "string")
     assert(p.get("b").get("type").asText() == "string")
-    assert(p.get("xs").get("items").get("type").asText() == "string")
+    // Sampled item types are compared against the COERCED type ("string"):
+    // an integer array degrades to an UNTYPED items schema (JSG:518-536);
+    // only an array of actual strings stays typed.
+    assert(!p.get("xs").get("items").has("type"))
+    assert(p.get("ss").get("items").get("type").asText() == "string")
   }
 }
