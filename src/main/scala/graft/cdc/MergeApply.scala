@@ -81,7 +81,7 @@ object MergeApply {
                inferSamplePerPartition: Int = Int.MaxValue): ApplyResult = {
     val t0 = System.nanoTime()
     val snap = IceLite.load(tablePath)
-    if (snap.committedBatches.contains(batchId)) {
+    if (snap.hasBatch(batchId)) {
       // Exactly-once: this epoch already committed (foreachBatch retry after
       // a crash between sink write and checkpoint commit). No-op.
       return ApplyResult(batchId, committed = false, snap.version, 0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)
@@ -152,7 +152,7 @@ object MergeApply {
       if (touched.isEmpty) {
         // Nothing applies (all malformed / empty batch) — still record the epoch.
         val newSnap = snap.copy(version = snap.version + 1, schemaV = newSchemaV,
-          schemas = schemas, committedBatches = snap.committedBatches + batchId)
+          schemas = schemas).withBatch(batchId)
         IceLite.commitSnapshot(tablePath, newSnap)
         val res = ApplyResult(batchId, committed = true, newSnap.version, events, 0, malformed,
           0, 0, 0, 0, minLsn, maxLsn, schemaDiff.toString, (System.nanoTime() - t0) / 1000000)
@@ -260,9 +260,9 @@ object MergeApply {
         val deltaRows = newDeltaEntries.map(_.rows).sum
         val appliedCnt = events - malformed
 
-        val newSnap = Snapshot(newVersion, newSchemaV, snap.numBuckets, schemas,
-          keptBases ++ newBaseEntries, snap.committedBatches + batchId,
-          keptDeltas ++ newDeltaEntries)
+        val newSnap = snap.copy(version = newVersion, schemaV = newSchemaV,
+          schemas = schemas, buckets = keptBases ++ newBaseEntries,
+          deltas = keptDeltas ++ newDeltaEntries).withBatch(batchId)
         IceLite.commitSnapshot(tablePath, newSnap)
 
         val res = ApplyResult(batchId, committed = true, newVersion, events, appliedCnt,

@@ -57,12 +57,31 @@ object IceLite {
   /** `buckets` = compacted base files; `deltas` = merge-on-read delta files
     * appended since each bucket's last compaction (LWW-merged with the base
     * on read, by `_lsn`).
+    *
+    * The committed-batch log is O(1), not O(history): `batchWatermark` means
+    * every batchId ≤ it has committed, and `committedBatches` holds only the
+    * out-of-order recent window above the watermark (normally empty —
+    * Structured Streaming epochs are sequential, so each commit advances the
+    * watermark and the window drains). At 10^10 events the snapshot stays
+    * O(buckets) instead of growing one long per epoch forever.
     */
   case class Snapshot(version: Int, schemaV: Int, numBuckets: Int,
                       schemas: Map[Int, StructType],
                       buckets: Seq[BucketEntry],
                       committedBatches: Set[Long],
-                      deltas: Seq[BucketEntry] = Nil) {
+                      deltas: Seq[BucketEntry] = Nil,
+                      batchWatermark: Long = -1L) {
+    /** Exactly-once check: has this epoch already committed? */
+    def hasBatch(id: Long): Boolean = id <= batchWatermark || committedBatches.contains(id)
+    /** Record an epoch: add to the window, then advance the watermark over
+      * any now-contiguous prefix and prune the window below it.
+      */
+    def withBatch(id: Long): Snapshot = {
+      var recent = if (id > batchWatermark) committedBatches + id else committedBatches
+      var wm = batchWatermark
+      while (recent.contains(wm + 1)) { wm += 1; recent -= wm }
+      copy(committedBatches = recent.filter(_ > wm), batchWatermark = wm)
+    }
     def schema: StructType = schemas(schemaV)
     /** Payload fields = stored schema minus keys and internal columns. */
     def payloadSchema: StructType =
@@ -119,6 +138,7 @@ object IceLite {
         b.get("schemaV").asInt(), b.get("minKey").asText(), b.get("maxKey").asText())
     }.toSeq
     val committed = root.get("committedBatches").elements().asScala.map(_.asLong()).toSet
+    val watermark = if (root.has("batchWatermark")) root.get("batchWatermark").asLong() else -1L
     val deltas =
       if (root.has("deltas")) root.get("deltas").elements().asScala.map { b =>
         BucketEntry(b.get("dir").asText(), b.get("bucket").asInt(), b.get("rows").asLong(),
@@ -126,7 +146,7 @@ object IceLite {
       }.toSeq
       else Nil
     Snapshot(root.get("version").asInt(), root.get("schemaV").asInt(),
-      root.get("numBuckets").asInt(), schemas, buckets, committed, deltas)
+      root.get("numBuckets").asInt(), schemas, buckets, committed, deltas, watermark)
   }
 
   // ---------------------------------------------------------------- commit
@@ -209,6 +229,7 @@ object IceLite {
     }
     putEntries("buckets", snap.buckets)
     putEntries("deltas", snap.deltas)
+    root.put("batchWatermark", snap.batchWatermark)
     val cn = root.putArray("committedBatches")
     snap.committedBatches.toSeq.sorted.foreach(cn.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)

@@ -44,6 +44,28 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.load(dir).committedBatches == Set(0L)) // A's commit intact
   }
 
+  test("committed-batch log is O(1): watermark advances, window stays bounded") {
+    val s0 = Snapshot(0, 1, 8, Map(1 -> IceLite.fullSchema(payload)), Nil, Set.empty)
+    // Sequential epochs (the Structured Streaming case): window stays empty.
+    val seq = (0L to 99999L).foldLeft(s0)((s, id) => s.withBatch(id))
+    assert(seq.batchWatermark == 99999L && seq.committedBatches.isEmpty)
+    assert(seq.hasBatch(0L) && seq.hasBatch(99999L) && !seq.hasBatch(100000L))
+    // Out-of-order epoch: retained in the window until the gap fills.
+    val gap = s0.withBatch(0L).withBatch(2L)
+    assert(gap.batchWatermark == 0L && gap.committedBatches == Set(2L))
+    assert(gap.hasBatch(2L) && !gap.hasBatch(1L))
+    val filled = gap.withBatch(1L)
+    assert(filled.batchWatermark == 2L && filled.committedBatches.isEmpty)
+    // Re-adding an already-watermarked epoch is a no-op.
+    assert(filled.withBatch(1L) == filled)
+    // Round-trips through snapshot JSON.
+    val dir = TestSpark.freshDir("icelite-wm")
+    IceLite.create(dir, payload, numBuckets = 8)
+    IceLite.commitSnapshot(dir, gap.copy(version = 1))
+    val loaded = IceLite.load(dir)
+    assert(loaded.batchWatermark == 0L && loaded.committedBatches == Set(2L))
+  }
+
   test("readStored groups by schema version and casts up (evolution-safe reads)") {
     val dir = TestSpark.freshDir("icelite-evo")
     IceLite.create(dir, payload, numBuckets = 4)

@@ -73,7 +73,7 @@ class MergeApplySpec extends AnyFunSuite {
       deadLetterDir = Some(s"$dir/_dead"))
     assert(r.committed && r.events == 2 && r.malformed == 2 && r.applied == 0)
     val snap = IceLite.load(dir)
-    assert(snap.version == 1 && snap.committedBatches == Set(0L))
+    assert(snap.version == 1 && snap.hasBatch(0L) && snap.batchWatermark == 0L)
     assert(snap.buckets.isEmpty && snap.deltas.isEmpty)
     assert(spark.read.parquet(s"$dir/_dead").count() == 2)
     // replaying the committed empty epoch is a no-op
