@@ -118,7 +118,7 @@ object SparkEntry {
           array_join(slice(split(col("text"), " "), 1, 5), "").as("frag"))
         .orderBy("doc_id")),
     "decode_guid_sid" -> ((s, d) => {
-      val e = t(s, d, "events").limit(100)
+      val e = t(s, d, "events").filter(col("event_id") < 100)
       val guidBytes = unhex(md5(col("event_type")))
       val sidBytes = concat(
         lit(Array[Byte](1, 2, 0, 0, 0, 0, 0, 5)),
@@ -126,6 +126,41 @@ object SparkEntry {
       e.select(col("event_id"),
         BinaryDecoders.guid_decode(guidBytes).as("guid"),
         BinaryDecoders.sid_decode(sidBytes).as("sid"))
+        .orderBy("event_id")
+    }),
+
+    // ---- reference-parity scalar pack: F7 sd_summary, F9 hex/unhex,
+    // P6 header map_filter, P8 empty-result routing, F19 masking ----
+    "scalar_parity_pack" -> ((s, d) => {
+      val e = t(s, d, "events").filter(col("event_id") < 500)
+      // 32 deterministic bytes (two md5s) → exercises the ≥20-byte offset path
+      val sdBytes = concat(unhex(md5(col("event_type"))),
+        unhex(md5(col("user_id").cast("string"))))
+      val headers = map(
+        lit("accept"), col("event_type"),
+        lit("authorization"), concat(lit("Bearer "), md5(col("event_id").cast("string"))),
+        lit("content-type"), lit("application/json"),
+        lit("x-request-id"), col("event_id").cast("string"))
+      // P6: drop proxied/sensitive headers (x-* and authorization),
+      // reference precedent InsecureInvokeHTTP.java:656-658
+      val kept = map_filter(headers, (k, _) => !k.startsWith("x-") && k =!= "authorization")
+      val p8src = when(col("event_id") % 3 === 0, col("event_type"))
+        .otherwise(concat(col("event_type"), lit("-"), col("event_id").cast("string")))
+      val cred = concat(lit("user:"), col("user_id").cast("string"),
+        lit(":pw="), md5(col("event_id").cast("string")))
+      e.select(col("event_id"),
+        BinaryDecoders.sd_summary(sdBytes).as("sd"),
+        hex(encode(col("event_type"), "UTF-8")).as("hex_type"),
+        decode(unhex(hex(encode(col("event_type"), "UTF-8"))), "UTF-8").as("unhexed"),
+        array_join(array_sort(transform(map_entries(kept),
+          kv => concat(kv.getField("key"), lit("="), kv.getField("value")))), ";")
+          .as("headers_kept"),
+        // P8: route rows whose extraction came back empty
+        // (DNSClientProcessor.java:256-261 empty-answer precedent)
+        when(size(regexp_extract_all(p8src, lit("\\d+"), lit(0))) === 0, "empty")
+          .otherwise("ok").as("p8_status"),
+        // F19: mask the credential-shaped tail (InsecureInvokeHTTP.java:803-810)
+        regexp_replace(cred, lit("pw=.*"), lit("pw=********")).as("masked"))
         .orderBy("event_id")
     }),
 
@@ -181,7 +216,110 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d))
   )
 
+  // ---- DuckDB expression generators for byte-level oracles (GUID/SID/SD
+  // decode over md5-derived bytes: hex pair at position i = one byte) ----
+  private def nib(h: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substr($h,$i,1))-1)"
+  private def dbyte(h: String, i: Int): String =
+    s"(${nib(h, i)}*16+${nib(h, i + 1)})"
+  /** Little-endian uint32 from the 4 bytes at hex position `i` (1-based). */
+  private def leUint(h: String, i: Int): String =
+    s"(${dbyte(h, i)}+${dbyte(h, i + 2)}*256+${dbyte(h, i + 4)}*65536+${dbyte(h, i + 6)}*16777216)"
+  /** Same, signed int32 (the reference's bytesToInt returns Java int). */
+  private def leInt(h: String, i: Int): String =
+    s"(CASE WHEN ${leUint(h, i)} >= 2147483648 THEN ${leUint(h, i)} - 4294967296 ELSE ${leUint(h, i)} END)"
+
   def oracleSql: Map[String, String] = Map(
+    "decode_guid_sid" ->
+      s"""WITH b AS (
+         |  SELECT event_id, md5(event_type) AS g, md5(CAST(event_id AS VARCHAR)) AS h
+         |  FROM events WHERE event_id < 100)
+         |SELECT event_id,
+         |       substr(g,7,2)||substr(g,5,2)||substr(g,3,2)||substr(g,1,2)||'-'||
+         |       substr(g,11,2)||substr(g,9,2)||'-'||substr(g,15,2)||substr(g,13,2)||'-'||
+         |       substr(g,17,4)||'-'||substr(g,21,12) AS guid,
+         |       'S-1-5-'||${leUint("h", 1)}||'-'||${leUint("h", 9)} AS sid
+         |FROM b ORDER BY event_id""".stripMargin,
+    "scalar_parity_pack" -> {
+      val flagNames = Seq(1 -> "SE_OWNER_DEFAULTED", 2 -> "SE_GROUP_DEFAULTED",
+        4 -> "SE_DACL_PRESENT", 8 -> "SE_DACL_DEFAULTED",
+        16 -> "SE_SACL_PRESENT", 32 -> "SE_SACL_DEFAULTED")
+        .map { case (bit, n) => s"(CASE WHEN (flags & $bit) <> 0 THEN ' $n' ELSE '' END)" }
+        .mkString("||")
+      s"""WITH b AS (
+         |  SELECT event_id, event_type, user_id,
+         |         md5(event_type) AS h1, md5(CAST(user_id AS VARCHAR)) AS h2
+         |  FROM events WHERE event_id < 500),
+         |f AS (SELECT *, (${dbyte("h1", 3)}*256+${dbyte("h1", 5)}) AS flags FROM b)
+         |SELECT event_id,
+         |       'Security Descriptor (Rev:'||${dbyte("h1", 1)}||', Flags:0x'||printf('%x',flags)||
+         |       $flagNames||')'||
+         |       ' Offsets: Owner='||${leInt("h1", 9)}||', Group='||${leInt("h1", 17)}||
+         |       ', SACL='||${leInt("h1", 25)}||', DACL='||${leInt("h2", 1)} AS sd,
+         |       hex(encode(event_type)) AS hex_type,
+         |       event_type AS unhexed,
+         |       'accept='||event_type||';content-type=application/json' AS headers_kept,
+         |       CASE WHEN len(regexp_extract_all(
+         |              CASE WHEN event_id % 3 = 0 THEN event_type
+         |                   ELSE event_type||'-'||CAST(event_id AS VARCHAR) END,
+         |              '\\d+')) = 0 THEN 'empty' ELSE 'ok' END AS p8_status,
+         |       'user:'||CAST(user_id AS VARCHAR)||':pw=********' AS masked
+         |FROM f ORDER BY event_id""".stripMargin
+    },
+    "cdc_dead_letter" ->
+      """SELECT reason, n FROM (
+        |  SELECT 'envelope' AS reason, count(*) AS n FROM events WHERE event_id % 97 = 0
+        |  UNION ALL
+        |  SELECT 'payload', count(*) FROM events
+        |  WHERE event_id % 101 = 0 AND event_id % 97 <> 0 AND event_type <> 'error')
+        |WHERE n > 0 ORDER BY reason""".stripMargin,
+    "schema_infer_props" ->
+      """WITH st AS (SELECT json_group_structure(json(props)) AS s FROM events)
+        |SELECT u.k AS field,
+        |       CASE json_extract_string(s, '$.'||u.k)
+        |         WHEN 'UBIGINT' THEN 'bigint' WHEN 'BIGINT' THEN 'bigint'
+        |         WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+        |         WHEN 'BOOLEAN' THEN 'boolean' END AS type
+        |FROM st, unnest(json_keys(s)) AS u(k) ORDER BY field""".stripMargin,
+    "jsg_json_schema" ->
+      """WITH kv AS (
+        |  SELECT event_id, u.k AS k, json_extract(props, '$.'||u.k) AS v
+        |  FROM events, unnest(json_keys(props)) AS u(k)),
+        |frags AS (
+        |  SELECT event_id, k,
+        |    CASE WHEN json_type(v) IN ('UBIGINT','BIGINT')
+        |           THEN '{"type":"integer","minimum":' ||
+        |                CASE WHEN CAST(v AS BIGINT) < 0
+        |                     THEN '-9223372036854775808' ELSE '0' END || '}'
+        |         WHEN json_type(v) = 'DOUBLE' THEN '{"type":"number"}'
+        |         WHEN json_type(v) = 'BOOLEAN' THEN '{"type":"boolean"}'
+        |         WHEN json_type(v) = 'NULL' THEN '{"type":"null"}'
+        |         ELSE '{"type":"string"' ||
+        |              CASE WHEN regexp_matches(json_extract_string(v,'$'), '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') THEN ',"format":"uuid"'
+        |                   WHEN regexp_matches(json_extract_string(v,'$'), '^\d{4}-\d{2}-\d{2}$') THEN ',"format":"date"'
+        |                   WHEN regexp_matches(json_extract_string(v,'$'), '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}') THEN ',"format":"date-time"'
+        |                   WHEN regexp_matches(json_extract_string(v,'$'), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$') THEN ',"format":"email"'
+        |                   WHEN starts_with(lower(json_extract_string(v,'$')), 'http://')
+        |                     OR starts_with(lower(json_extract_string(v,'$')), 'https://') THEN ',"format":"uri"'
+        |                   ELSE '' END ||
+        |              CASE WHEN length(json_extract_string(v,'$')) BETWEEN 1 AND 100
+        |                   THEN ',"maxLength":100' ELSE '' END || '}'
+        |    END AS frag
+        |  FROM kv)
+        |SELECT event_id,
+        |       '{"$schema":"http://json-schema.org/draft-07/schema#","type":"object","properties":{' ||
+        |       string_agg('"' || k || '":' || frag, ',' ORDER BY k) || '}}' AS json_schema
+        |FROM frags GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |       length(text) AS n_bytes,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE list_avg(list_transform(range(1, length(text) + 1),
+        |                 i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) END AS mean_byte,
+        |       CAST(((length(text) // 16) + 3) // 4 AS INTEGER) AS frames_sampled,
+        |       md5(text) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "cdc_upsert_lww" ->
       """WITH feed AS (
         |  SELECT event_id AS lsn,

@@ -115,9 +115,21 @@ object FeedGen {
     *   op       = 'D' when event_type='error' else 'U' (upsert)
     *   after    = {role: event_type, text: event_type#event_id, value, ts}
     */
-  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    fromEvents(spark, sfDir, corrupt = false)
+
+  /** Same feed with deterministic corruption injected (dead-letter oracle):
+    * `event_id % 97 == 0` → invalid op (envelope reject);
+    * `event_id % 101 == 0` (not already envelope-corrupted) → the `after`
+    * object replaced by a non-object payload (payload reject; only U rows
+    * carry `after`, so D/error rows are unaffected). Both conditions are
+    * pure functions of `event_id`, so the driver's DuckDB oracle computes
+    * the expected dead-letter counts straight from events.parquet.
+    */
+  def fromEvents(spark: SparkSession, sfDir: String, corrupt: Boolean): DataFrame = {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    ev.select(
+    val lines = ev.select(
+      col("event_id"),
       when(col("event_type") === "error", "D").otherwise("U").as("op"),
       col("event_id").as("lsn"),
       concat(lit("conv-"), lpad(col("user_id").cast(StringType), 4, "0")).as("conv_id"),
@@ -126,11 +138,19 @@ object FeedGen {
       concat(col("event_type"), lit("#"), col("event_id").cast(StringType)).as("text"),
       col("value"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts_str"))
-      .select(to_json(struct(
+      .select(col("event_id"), to_json(struct(
         col("op"), col("lsn"), col("conv_id"), col("turn_idx"),
         when(col("op") =!= "D",
           struct(col("role"), col("text"), col("value"), col("ts_str").as("ts"))).as("after")))
         .as("value"))
+    if (!corrupt) lines.select("value")
+    else lines.select(
+      when(col("event_id") % 97 === 0,
+        regexp_replace(col("value"), "\"op\":\"[UD]\"", "\"op\":\"X\""))
+        .when(col("event_id") % 101 === 0,
+          // keep the envelope's own closing brace: only the payload is broken
+          regexp_replace(col("value"), "\"after\":\\{.*\\}$", "\"after\":\"XX\"}"))
+        .otherwise(col("value")).as("value"))
   }
 
   def writeFeed(lines: DataFrame, dir: String, files: Int = 8): Unit =

@@ -79,12 +79,14 @@ object CdcQueries {
       .orderBy("relationship")
   }
 
-  /** Dead-letter routing demonstrated on a synthetic feed with injected
-    * malformed lines (rows-only check; unit-tested against the oracle).
+  /** Dead-letter routing (St4): the events-derived feed with deterministic
+    * corruption (FeedGen.fromEvents corrupt=true) replayed through the real
+    * pipeline; reason counts are a pure function of event_id, so the
+    * driver's DuckDB oracle derives them from events.parquet directly.
     */
   def deadLetterSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("deadletter", sfDir)
-    FeedGen.synthetic(spark, Some(s"$base/feed"), 3000, nConvs = 50, nBatches = 3)
+    FeedGen.writeFeed(FeedGen.fromEvents(spark, sfDir, corrupt = true), s"$base/feed", files = 8)
     Pipeline.replay(spark, Pipeline.Config(
       s"$base/feed", s"$base/table", s"$base/ckpt",
       deadLetterDir = Some(s"$base/dead"), numBuckets = 8))

@@ -17,22 +17,21 @@ object MultimodalOps {
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
                       width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
-                           mean_byte: Double, frames_sampled: Int, fingerprint: Long)
+                           mean_byte: Double, frames_sampled: Int, fingerprint: String)
 
   /** Deterministic fake "decode + feature extract" for one media payload.
     * Real deployments replace this body with the codec call; the signature
-    * and batch shape are the contract.
+    * and batch shape are the contract. Features are chosen to be
+    * independently computable by the driver's DuckDB oracle (byte length,
+    * mean byte value, arithmetic frame count, md5 content fingerprint).
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
     var sum = 0L
-    var fp = 1469598103934665603L // FNV-1a
     var i = 0
-    while (i < bytes.length) {
-      sum += bytes(i) & 0xFF
-      fp = (fp ^ (bytes(i) & 0xFF)) * 1099511628211L
-      i += 1
-    }
+    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val fp = md.map(b => f"${b & 0xFF}%02x").mkString
     // "frame-sample": one frame per 16-byte block, every 4th block kept
     val frames = (bytes.length / 16 + 3) / 4
     MediaFeatures(r.doc_id, r.media_type, bytes.length,
