@@ -229,6 +229,51 @@ object SparkEntry {
   private def leInt(h: String, i: Int): String =
     s"(CASE WHEN ${leUint(h, i)} >= 2147483648 THEN ${leUint(h, i)} - 4294967296 ELSE ${leUint(h, i)} END)"
 
+  /** Planted-duplicate corpus + distinct 3-shingle sets, DuckDB form —
+    * mirrors TextOps.withPlantedDups / TextOps.shingles exactly.
+    */
+  private val corpusShingleSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[2:], ' ') AS text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(0, greatest(len(w)-3, 0)+1),
+      |           i -> array_to_string(w[(i+1):(i+3)], ' '))) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus)),
+      |jac AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) * 1.0 /
+      |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** One 32-bit SimHash half as a DuckDB expression over `hs` (per-word md5
+    * hex list) — bit-for-bit the same fingerprint as TextOps.simhashHalves.
+    */
+  private def simhashHalfSql(bits: Range): String =
+    bits.map { b =>
+      val pos = b / 4 + 1; val shift = 3 - (b % 4); val weight = 1L << (b % 32)
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN " +
+        s"((strpos('0123456789abcdef', substr(h,$pos,1))-1) >> $shift) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN $weight ELSE 0 END)"
+    }.mkString("+")
+
+  /** The random-hyperplane LSH signature as a DuckDB expression (same md5
+    * plane construction as VectorOps.planeSign/lshSignature; `t` is the
+    * table-index column, `embedding` the vector column).
+    */
+  private def annSigSql(nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val proj = s"list_sum(list_transform(range(0, len(embedding)), i -> " +
+        s"CAST(embedding[CAST(i+1 AS INTEGER)] AS DOUBLE) * " +
+        s"(CASE WHEN strpos('01234567', substr(md5(CAST(t*$nPlanes+$p AS VARCHAR) || '-' || i), 1, 1)) > 0 " +
+        s"THEN 1.0 ELSE -1.0 END)))"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("+")
+
   def oracleSql: Map[String, String] = Map(
     "decode_guid_sid" ->
       s"""WITH b AS (
@@ -310,6 +355,49 @@ object SparkEntry {
         |       '{"$schema":"http://json-schema.org/draft-07/schema#","type":"object","properties":{' ||
         |       string_agg('"' || k || '":' || frag, ',' ORDER BY k) || '}}' AS json_schema
         |FROM frags GROUP BY event_id ORDER BY event_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $corpusShingleSql
+         |SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $corpusShingleSql
+         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |         array_to_string(string_split(text, ' ')[2:], ' ') AS text
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |hx AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |                h -> md5(h)) AS hs FROM corpus),
+         |s AS (SELECT doc_id, ${simhashHalfSql(0 until 32)} AS lo,
+         |             ${simhashHalfSql(32 until 64)} AS hi FROM hx)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id, t, ${annSigSql(8)} AS sig
+         |  FROM embeddings, (SELECT unnest(range(0, 4)) AS t)),
+         |q AS (SELECT t, sig, vec_id AS qid FROM sigs WHERE vec_id < 10),
+         |cands AS (
+         |  SELECT DISTINCT q.qid, s.vec_id AS nid
+         |  FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig
+         |  WHERE s.vec_id <> q.qid),
+         |scored AS (
+         |  SELECT c.qid, c.nid,
+         |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |               CAST(ne.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM cands c JOIN embeddings qe ON qe.vec_id = c.qid
+         |  JOIN embeddings ne ON ne.vec_id = c.nid)
+         |SELECT qid, nid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
         |       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,

@@ -58,94 +58,112 @@ object TextOps {
       array_min(transform(shingleCol, s => xxhash64(s, lit(h))))
     }: _*)
 
-  /** (doc_id, sig) with the minhash signature MATERIALIZED (persisted):
+  /** (doc_id, sh) distinct 3-shingle sets, MATERIALIZED (persisted):
     * Catalyst's CollapseProject would otherwise inline the shingle array
     * into all `numHashes` hash lambdas (recomputing it 16×), and the LSH
     * band self-join would re-evaluate the whole pipeline on both sides.
     */
-  private def minhashSigs(spark: SparkSession, sfDir: String, numHashes: Int): DataFrame =
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
     withPlantedDups(spark, sfDir)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .persist()
 
-  /** MinHash + LSH banding near-dup candidates: signature of `numHashes`
-    * minhashes split into `bands` bands; docs sharing any band key are
-    * candidates; candidates scored by estimated Jaccard (signature overlap).
+  /** MinHash-LSH candidate pairs + exact Jaccard verify — the standard
+    * two-stage dedup pipeline. Candidates come from banding with one hash
+    * per band (docs sharing ANY of the `numHashes` minhashes), executed as
+    * an equi-join on (band, band_key) — never an all-pairs join. A pair
+    * with true Jaccard j is missed with probability (1-j)^numHashes
+    * (≤ 2.8e-6 at j=0.4, numHashes=16 — vs the reference-corpus pair count
+    * this is exact in practice, and the driver's brute-force oracle checks
+    * it). Each candidate is then verified with EXACT shingle-set Jaccard,
+    * so the output is a pure function of the corpus — independently
+    * computable by the DuckDB oracle without reproducing xxhash64.
     */
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String,
-                      numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = minhashSigs(spark, sfDir, numHashes)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), lit("band")))))
+  def candidateJaccard(spark: SparkSession, sfDir: String,
+                       numHashes: Int = 16): DataFrame = {
+    val sh = shingleSets(spark, sfDir)
+    val sigs = sh.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"), posexplode(col("sig")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val l = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_key"))
+    val l = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val cands = l.join(r, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / numHashes).as("est_jaccard"))
+      .select("doc_a", "doc_b")
       .distinct()
-      .filter(col("est_jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** Exact n-gram Jaccard on LSH candidates (verify stage of the dedup
-    * pipeline): intersection/union of 3-shingle sets.
-    */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String,
-                        threshold: Double = 0.4): DataFrame = {
-    val cands = dedupMinhashLsh(spark, sfDir, threshold = 0.0)
-    val sh = withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .persist()
-    cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Near-duplicate PAIR LIST at Jaccard ≥ `threshold` via MinHash-LSH
+    * banding + exact verify (the dedup decision output).
+    */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String,
+                      numHashes: Int = 16, threshold: Double = 0.5): DataFrame =
+    candidateJaccard(spark, sfDir, numHashes)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact n-gram Jaccard SCORES on LSH candidates (the verify stage of the
+    * dedup pipeline, with the measured similarity retained).
+    */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String,
+                        threshold: Double = 0.4): DataFrame =
+    candidateJaccard(spark, sfDir)
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
-  }
 
-  /** 64-bit SimHash over word hashes: sign-sum of each bit position,
-    * expressed with aggregate over the word array (codegen, no UDF).
-    * Near-dups = pairs sharing a 16-bit block (Hamming ≤ small) — block
-    * equi-join, then exact popcount filter.
+  /** 64-bit SimHash over word hashes as two 32-bit halves (lo, hi):
+    * sign-sum of each bit position, expressed with aggregate over the word
+    * array (codegen, no UDF). The word hash is md5-hex-derived — bit b of a
+    * word = bit (3 - b%4) of hex nibble (b/4 + 1) of md5(word) — so an
+    * independent engine (DuckDB) reproduces the fingerprint bit-exactly;
+    * two halves keep every value inside non-negative int32 range in both
+    * engines. `hexesCol` must hold the per-word md5 hex strings
+    * (materialized once — 64 bit-folds share it).
     */
-  def simhash(text: Column): Column = {
-    // hash each word once, then fold each (static) bit position separately —
-    // shift amounts must be Scala Ints for shiftright
-    val hashes = transform(split(lower(text), " "), w => xxhash64(w))
-    val bits = (0 until 64).map { b =>
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+  def simhashHalves(hexesCol: Column): (Column, Column) = {
+    def bitSum(b: Int): Column = {
+      val shift = 3 - (b % 4)
+      aggregate(hexesCol, lit(0), (acc, h) =>
+        acc + when(shiftright(conv(substring(h, b / 4 + 1, 1), 16, 10)
+          .cast(IntegerType), shift).bitwiseAND(1) === 1, 1).otherwise(-1))
     }
-    bits.reduce((a, c) => a.bitwiseOR(c))
+    def half(bits: Range): Column =
+      bits.map(b => when(bitSum(b) > 0, lit(1L << (b % 32))).otherwise(lit(0L)))
+        .reduce((a, c) => a.bitwiseOR(c))
+    (half(0 until 32), half(32 until 64))
   }
 
-  def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
-    val d = withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), simhash(col("text")).as("sh")).persist()
-    // 4 blocks of 16 bits: Hamming ≤ 3 guarantees a shared block; we use the
-    // block join for candidates and exact popcount for the verdict.
-    val blocked = d.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+  def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
+    val hexes = withPlantedDups(spark, sfDir)
+      .select(col("doc_id"),
+        transform(split(lower(col("text")), " "), w => md5(w)).as("hx"))
+    val (lo, hi) = simhashHalves(col("hx"))
+    val d = hexes.select(col("doc_id"), lo.as("sh_lo"), hi.as("sh_hi")).persist()
+    // 8 blocks of 8 bits: Hamming ≤ 7 GUARANTEES a shared block (pigeonhole)
+    // — the block equi-join has 100% recall at this radius, exact popcount
+    // is the verdict. (At larger corpora use wider blocks for key
+    // cardinality and a probabilistic multi-probe extension.)
+    val blocks = (0 until 4).map(b => shiftright(col("sh_lo"), b * 8).bitwiseAND(0xFFL)) ++
+      (0 until 4).map(b => shiftright(col("sh_hi"), b * 8).bitwiseAND(0xFFL))
+    val blocked = d.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      posexplode(array(blocks: _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_key")
-    val l = blocked.select(col("block"), col("block_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = blocked.select(col("block"), col("block_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val l = blocked.select(col("block"), col("block_key"), col("doc_id").as("doc_a"),
+      col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
+    val r = blocked.select(col("block"), col("block_key"), col("doc_id").as("doc_b"),
+      col("sh_lo").as("lo_b"), col("sh_hi").as("hi_b"))
     l.join(r, Seq("block", "block_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")

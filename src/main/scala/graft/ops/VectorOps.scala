@@ -47,35 +47,53 @@ object VectorOps {
 
   /** Embedding-cosine near-duplicate pairs: the corpus plus planted exact
     * copies (vec_id % 25 == 0 → copy at vec_id + 100000), all pairs with
-    * rounded cosine ≥ threshold. Brute-force pair generation is the
-    * oracle-verifiable baseline; at 100 TB the candidate set comes from
-    * [[annLsh]]'s bucket equi-join instead of the O(n²) loop — this query
-    * exists to pin the scoring semantics the LSH path must reproduce.
+    * rounded cosine ≥ threshold. Candidates come from the SAME
+    * random-hyperplane bucket equi-join as [[annLsh]] — never an O(n²)
+    * pair join — and each candidate is verified with the exact dot product
+    * of the pre-normalized vectors. At threshold 0.999 (near-exact dups,
+    * angle ≤ 2.6°) the probability a qualifying pair misses every one of
+    * `tables` signatures is ≤ (1-(1-θ/π)^nPlanes)^tables ≈ 1.6e-5, and
+    * exact duplicates (identical vectors → identical signatures) can never
+    * miss; the driver's DuckDB oracle stays the brute-force pair scan, so
+    * any recall gap would fail the gate loudly.
     */
-  def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.999): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.999,
+                     nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     val base = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val planted = base.filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + 100000L)
     // Normalize ONCE per vector (persist barrier — otherwise CollapseProject
-    // inlines the norm into every element lambda and every pair re-pays it),
-    // so each of the O(n²) pairs costs a single dot product.
+    // inlines the norm into every element lambda), so every candidate pair
+    // costs a single dot product.
     val all = base.unionByName(planted)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType) / norm(col("embedding"))).as("nv"))
       .persist()
-    val l = all.select(col("vec_id").as("id_a"), col("nv").as("na"))
-    val r = all.select(col("vec_id").as("id_b"), col("nv").as("nb"))
-    l.join(r, col("id_a") < col("id_b"))
+    val sigs = all.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col("nv"), nPlanes, planeOffset = t * nPlanes)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val cands = sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_a"))
+      .join(sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_b")), Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(all.select(col("vec_id").as("id_a"), col("nv").as("na")), "id_a")
+      .join(all.select(col("vec_id").as("id_b"), col("nv").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), round(dot(col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash mapped to {-1, +1} — reproducible on any cluster size.
+  /** Deterministic oracle-able hyperplane component for (plane, dim):
+    * +1 when the first hex nibble of md5("<plane>-<dim>") is < 8, else -1 —
+    * reproducible on any cluster size AND by the DuckDB oracle (xxhash64
+    * has no cross-engine equivalent; md5 does).
     */
   private def planeSign(plane: Int, dimIdx: Column): Column =
-    when(pmod(xxhash64(lit(plane), dimIdx, lit("lsh-plane")), lit(2)) === 0, 1.0).otherwise(-1.0)
+    when(conv(substring(md5(concat(lit(s"$plane-"), dimIdx.cast(StringType))), 1, 1), 16, 10)
+      .cast(IntegerType) < 8, 1.0).otherwise(-1.0)
 
   /** Sign bit of the projection of `vec` onto pseudo-random plane `p`. */
   private def signBit(vec: Column, p: Int): Column = {
@@ -86,9 +104,11 @@ object VectorOps {
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
-  /** LSH bucket signature: `nPlanes` sign bits packed into a long. */
-  def lshSignature(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map(p => shiftleft(signBit(vec, p), p))
+  /** LSH bucket signature: `nPlanes` sign bits packed into a long;
+    * `planeOffset` selects an independent plane family (per-table offset).
+    */
+  def lshSignature(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    (0 until nPlanes).map(p => shiftleft(signBit(vec, planeOffset + p), p))
       .reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN via random-hyperplane LSH: candidates share a bucket signature in
@@ -103,8 +123,7 @@ object VectorOps {
     val sigs = e.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until tables).map(t =>
         // independent tables: offset the plane index space per table
-        (0 until nPlanes).map(p => shiftleft(signBit(col("embedding"), t * nPlanes + p), p))
-          .reduce((a, b) => a.bitwiseOR(b))): _*)))
+        lshSignature(col("embedding"), nPlanes, planeOffset = t * nPlanes)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val q = sigs.filter(col("vec_id") < nQueries)
       .select(col("tbl"), col("sig"), col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -58,6 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"simhash must never cross-join:\n$p")
   }
 
+  test("dedup_embedding: candidates from the LSH bucket equi-join, never O(n²)") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup must not pair via nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
+  }
+
   test("sim_cosine_topk: query side broadcast (small × huge corpus shape)") {
     val p = plan("sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
