@@ -201,6 +201,7 @@ object SparkEntry {
 
     // ---- page combine / LDIF / DNS shaping (SURVEY §2.4 A2, §2.8 F15/F16/F12, §2.2 P7) ----
     "odata_page_combine" -> ((s, d) => PageOps.odataPageCombine(s, d)),
+    "pagination_follow" -> ((s, d) => PageOps.paginationFollow(s, d)),
     "ldif_render" -> ((s, d) => PageOps.ldifRender(s, d)),
     "dns_shape" -> ((s, d) => PageOps.dnsShape(s, d)),
 
@@ -559,6 +560,27 @@ object SparkEntry {
         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    "pagination_follow" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT user_id % 50 AS chain, event_id,
+        |         row_number() OVER (PARTITION BY user_id % 50 ORDER BY event_id) AS seq,
+        |         count(*) OVER (PARTITION BY user_id % 50) AS cnt
+        |  FROM events),
+        |p AS (
+        |  SELECT chain, seq,
+        |         'pg-' || chain || '-' || seq AS id,
+        |         'v' || CAST(event_id AS VARCHAR) AS val,
+        |         CASE WHEN seq < cnt THEN 'pg-' || chain || '-' || (seq + 1) END AS next
+        |  FROM pages),
+        |walk AS (
+        |  SELECT chain, val, next, 1 AS depth FROM p WHERE seq = 1
+        |  UNION ALL
+        |  SELECT p.chain, p.val, p.next, w.depth + 1
+        |  FROM walk w JOIN p ON p.id = w.next
+        |  WHERE w.depth < 10)
+        |SELECT chain, count(*) AS n_pages,
+        |       string_agg(val, ',' ORDER BY depth) AS combined
+        |FROM walk GROUP BY chain ORDER BY chain""".stripMargin,
     "odata_page_combine" ->
       """WITH pages AS (
         |  SELECT user_id % 50 AS chain, event_id AS page_no,

@@ -37,6 +37,58 @@ object PageOps {
       .orderBy("chain")
   }
 
+  /** S3/F2 pagination chain-follow: walk a `@odata.nextLink` chain from the
+    * first page, one JSONPath extraction per hop, bounded by `maxPages` —
+    * the reference's next-link loop (InsecureInvokeHTTP.java:854-898
+    * string-search/JSONPath next-link extraction; bounded fetch loop
+    * :1291-1507). Set-oriented: each hop is ONE equi-join of the whole
+    * frontier (every chain advances in parallel) against the page table, so
+    * a million concurrent chains cost maxPages joins total — not a
+    * per-chain loop. The page table is derived from events (chain =
+    * user_id % 50, page order = event_id) and each page's body is real
+    * JSON, so the next-link really is parsed out of the payload per hop.
+    */
+  def paginationFollow(spark: SparkSession, sfDir: String, maxPages: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("chain").orderBy("event_id")
+    val wc = Window.partitionBy("chain")
+    val pages = events(spark, sfDir)
+      .select((col("user_id") % 50).as("chain"), col("event_id"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .select(
+        col("chain"),
+        concat(lit("pg-"), col("chain"), lit("-"), col("seq")).as("pid"),
+        col("seq"),
+        to_json(struct(
+          array(concat(lit("v"), col("event_id"))).as("value"),
+          when(col("seq") < col("cnt"),
+            concat(lit("pg-"), col("chain"), lit("-"), col("seq") + 1))
+            .as("@odata.nextLink"))).as("body"))
+      .persist() // 10 hops share it; dropped by the caller's clearCache
+    val lookup = pages.select(col("pid").as("lk_pid"), col("body").as("lk_body"))
+    var frontier = pages.filter(col("seq") === 1)
+      .select(col("chain"), col("body"), lit(1).as("depth"))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 2 to maxPages) {
+      frontier = frontier
+        .select(col("chain"), (col("depth") + 1).as("depth"),
+          get_json_object(col("body"), "$['@odata.nextLink']").as("nid"))
+        .join(lookup, col("nid") === col("lk_pid"))
+        .select(col("chain"), col("lk_body").as("body"), col("depth"))
+      levels += frontier
+    }
+    levels.reduce(_.unionByName(_))
+      .select(col("chain"), col("depth"),
+        get_json_object(col("body"), "$.value[0]").as("val"))
+      .groupBy("chain")
+      .agg(count(lit(1)).as("n_pages"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("depth"), col("val")))),
+          x => x.getField("val"))).as("combined"))
+      .orderBy("chain")
+  }
+
   /** F15 LDIF rendering with the `::` base64 rule for values that start with
     * an unsafe char (space here; LDAP:853-857), line-oriented output
     * (LDAP:824-875).
