@@ -1,6 +1,6 @@
 package graft.cdc
 
-import graft.infer.{SchemaInfer, SchemaMerge}
+import graft.infer.{SchemaInfer, SchemaMerge, ShapeKey}
 import graft.table.{IceLite, ParquetStats}
 import graft.table.IceLite.{BucketEntry, Snapshot}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SaveMode, SparkSession}
@@ -310,9 +310,15 @@ object MergeApply {
   private def scanBatch(spark: SparkSession, parsed: DataFrame, perPartition: Int): BatchScan = {
     val partials = parsed.mapPartitions { it =>
       var schema = new StructType()
-      // Shape-dedupe: real feeds carry a handful of distinct payload shapes;
-      // merging only novel ones cuts the per-doc cost to a set lookup.
+      // Shape-dedupe with a cheap front: ShapeKey.scan is a single-pass
+      // allocation-light skeleton of the document (equal keys ⇒ equal
+      // inference result), so the Jackson tree parse runs once per DISTINCT
+      // SHAPE, not once per document — real feeds carry a handful of shapes.
+      // Documents the scanner can't certify fall back to the Jackson path,
+      // so validity (dead-letter) semantics are unchanged.
+      val shapeValid = scala.collection.mutable.HashMap.empty[String, Boolean]
       val seenShapes = scala.collection.mutable.HashSet.empty[StructType]
+      val keyBuf = new java.lang.StringBuilder(64)
       var inferred = 0
       var events = 0L; var envBad = 0L; var payloadBad = 0L
       var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
@@ -330,13 +336,24 @@ object MergeApply {
           val after = if (row.isNullAt(idx(2))) null else row.getString(idx(2))
           var good = true
           if (op != "D" && after != null) {
-            SchemaInfer.inferDocument(after) match {
-              case Some(s) =>
-                if (inferred < perPartition) {
-                  if (seenShapes.add(s)) schema = SchemaMerge.mergeStruct(schema, s)
-                  inferred += 1
+            keyBuf.setLength(0)
+            val keyed = ShapeKey.scan(after, keyBuf, SchemaInfer.DefaultMaxArraySamples)
+            val cached = if (keyed) shapeValid.get(keyBuf.toString) else None
+            cached match {
+              case Some(true) => if (inferred < perPartition) inferred += 1
+              case Some(false) => payloadBad += 1; good = false
+              case None =>
+                SchemaInfer.inferDocument(after) match {
+                  case Some(s) =>
+                    if (inferred < perPartition) {
+                      if (seenShapes.add(s)) schema = SchemaMerge.mergeStruct(schema, s)
+                      inferred += 1
+                      if (keyed) shapeValid(keyBuf.toString) = true
+                    }
+                  case None =>
+                    payloadBad += 1; good = false
+                    if (keyed) shapeValid(keyBuf.toString) = false
                 }
-              case None => payloadBad += 1; good = false
             }
           }
           if (good) {
