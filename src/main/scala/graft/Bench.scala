@@ -86,11 +86,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    // sf0.1 → 6M events in 3 micro-batches of 2M: at 10^10 scale micro-batches
+    // sf0.1 → 8M events in 4 micro-batches of 2M: at 10^10 scale micro-batches
     // are huge, so sustained throughput is measured with batches large enough
     // that per-batch fixed cost (job scheduling, commit, checkpoint) is the
-    // same second-order term it would be on a real cluster.
-    val nEvents = math.max(600000L, (sf * 120e6).toLong) // sf0.1 → 12M events
+    // same second-order term it would be on a real cluster. (8M rather than
+    // 12M so THREE interleaved N/4N replay pairs fit the round budget.)
+    val nEvents = math.max(600000L, (sf * 80e6).toLong) // sf0.1 → 8M events
     val nBatches = 4
     // 32 files per batch dir → the (narrow) parse+infer stage has enough
     // input splits to occupy all 32 cores; at 8 cores they just queue.
@@ -111,28 +112,34 @@ object Bench {
       } finally s.stop()
     }
 
-    // ---- CDC replay at N=2 and 4N=8 cores (same input), best of 2 per
-    // level: the sandbox host is heavily co-tenanted and noisy; throughput
-    // capability is the max over repeats.
-    def bestOf2(cores: Int, dir: String): (Long, Double) = {
-      val a = replayAt(cores, feedDir, warmFeed, dir)
-      val b = replayAt(cores, feedDir, warmFeed, dir)
-      System.err.println(f"[bench] replay at $cores: ${a._2}%.1fs / ${b._2}%.1fs")
-      if (a._2 <= b._2) a else b
+    // ---- CDC replay at N=2 and 4N=8 cores (same input), INTERLEAVED
+    // median-of-3 per level: the sandbox host is heavily co-tenanted and
+    // noisy; interleaving (N,4N, N,4N, N,4N) makes a co-tenant spike hit
+    // both levels symmetrically instead of biasing the ratio, the median
+    // rejects a single bad window, and the reported spread quantifies how
+    // quiet the host actually was during the measurement.
+    val pairs = (1 to 3).map { i =>
+      val n = replayAt(2, feedDir, warmFeed, s"$work/run2")
+      val x = replayAt(8, feedDir, warmFeed, s"$work/run8")
+      System.err.println(f"[bench] pair $i: N=2 ${n._2}%.1fs, 4N=8 ${x._2}%.1fs")
+      (n, x)
     }
-    // Best-of-2 at BOTH levels: taking the fastest N run is the
-    // conservative choice — a co-tenant spike hitting the baseline would
-    // otherwise inflate the efficiency ratio (observed: one slow N=2 run
-    // read 0.916 where tight repeats read 0.840).
-    val (evN, secN) = bestOf2(2, s"$work/run2")
-    val (ev4N, sec4N) = bestOf2(8, s"$work/run8")
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def spread(xs: Seq[Double]): Double = (xs.max - xs.min) / median(xs)
+    val nSecs = pairs.map(_._1._2)
+    val xSecs = pairs.map(_._2._2)
+    val secN = median(nSecs)
+    val sec4N = median(xSecs)
+    val evN = pairs.head._1._1
+    val ev4N = pairs.head._2._1
     val (evP, secP) = replayAt(32, feedDir, warmFeed, s"$work/run32") // peak
     val epsN = evN / math.max(secN, 1e-9)
     val eps4N = ev4N / math.max(sec4N, 1e-9)
     val epsPeak = evP / math.max(secP, 1e-9)
     val efficiency = (eps4N / math.max(epsN, 1e-9)) / 4.0
-    System.err.println(f"[bench] replay N=2: $evN events in $secN%.1fs ($epsN%.0f eps); " +
-      f"4N=8: $ev4N in $sec4N%.1fs ($eps4N%.0f eps); efficiency=$efficiency%.3f; " +
+    System.err.println(f"[bench] replay N=2 median: $evN events in $secN%.1fs ($epsN%.0f eps, " +
+      f"spread ${spread(nSecs) * 100}%.1f%%); 4N=8 median: $ev4N in $sec4N%.1fs ($eps4N%.0f eps, " +
+      f"spread ${spread(xSecs) * 100}%.1f%%); efficiency=$efficiency%.3f; " +
       f"peak local[32]: $epsPeak%.0f eps")
 
     // ---- operator queries at local[32]
@@ -152,7 +159,14 @@ object Bench {
 
     val best = math.max(eps4N, epsPeak)
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(
-      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":{"events":$ev4N,"n_cores":2,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"x4_cores":8,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"scaling_efficiency":$efficiency%.3f,"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}}""")
+    val json =
+      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":{"events":$ev4N,"n_cores":2,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"n_spread":${spread(nSecs)}%.3f,"x4_cores":8,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"x4_spread":${spread(xSecs)}%.3f,"scaling_efficiency":$efficiency%.3f,"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}}"""
+    // Stdout (driver contract) AND a file copy — round 1's JSON arrived
+    // sbt-log-prefixed and failed the driver's parse; the file is the
+    // always-clean fallback.
+    println(json)
+    Files.createDirectories(Paths.get("/root/repo/target"))
+    Files.write(Paths.get("/root/repo/target/bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
