@@ -55,6 +55,53 @@ object Pipeline {
     results.toSeq
   }
 
+  /** Per-op watermarked window metrics over raw feed lines — the
+    * transformation behind [[tailMetrics]], factored out so the spec drives
+    * it from a MemoryStream. Event time = the payload's `ts` field; lines
+    * without a parseable event time (deletes, malformed) are excluded —
+    * they are fully accounted in the apply path's lineage instead.
+    */
+  def opWindowMetrics(lines: org.apache.spark.sql.DataFrame,
+                      windowLength: String = "1 minute",
+                      delay: String = "2 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parsed = Feed.parse(lines)
+      .withColumn("event_ts", to_timestamp(get_json_object(col("after"), "$.ts")))
+      .filter(col("event_ts").isNotNull)
+    graft.streaming.WindowedStats
+      .eventsPerWindow(parsed, "event_ts", delay, windowLength, Seq(col("op")))
+      .select(col("window.start").as("w_start"), col("op"), col("n"),
+        col("first_ts"), col("last_ts"))
+  }
+
+  /** Live-tail self-instrumentation (the streaming analogue of the
+    * reference's per-response timing metrics,
+    * InsecureInvokeHTTP.java:1378-1403): a SECOND streaming query over the
+    * same feed, emitting watermarked per-op tumbling-window counts to
+    * `<lineageDir>/windows` as finalized (append-mode) parquet. Window
+    * state is bounded by the watermark, so it tails forever; it shares
+    * nothing with the apply query beyond the source directory.
+    */
+  def tailMetrics(spark: SparkSession, cfg: Config,
+                  windowLength: String = "1 minute", delay: String = "2 minutes",
+                  intervalMs: Long = 1000L)
+                 : org.apache.spark.sql.streaming.StreamingQuery = {
+    val dir = cfg.lineageDir.getOrElse(
+      throw new IllegalArgumentException("tailMetrics requires cfg.lineageDir"))
+    var reader = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+    cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val raw = reader.option("recursiveFileLookup", "true").text(cfg.feedDir)
+    opWindowMetrics(raw, windowLength, delay)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/windows")
+      .option("checkpointLocation", s"${cfg.checkpointDir}-metrics")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+  }
+
   /** Live tail: same pipeline, continuous micro-batches (St1 — the
     * reference's unbounded onTrigger pull loop). Returns the running query;
     * caller owns its lifecycle. `onBatch` observes each apply result

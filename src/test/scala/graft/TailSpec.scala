@@ -40,4 +40,35 @@ class TailSpec extends AnyFunSuite {
       })
     } finally q.stop()
   }
+
+  test("opWindowMetrics: per-op watermarked window counts over feed lines (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    def line(op: String, lsn: Long, min: Int): String = {
+      val after = if (op == "D") "" else
+        s""","after":{"text":"t$lsn","ts":"2026-01-01T00:${f"$min%02d"}:00Z"}"""
+      s"""{"op":"$op","lsn":$lsn,"conv_id":"c","turn_idx":0$after}"""
+    }
+    val in = MemoryStream[String]
+    val out = Pipeline.opWindowMetrics(in.toDF().toDF("value"),
+      windowLength = "5 minutes", delay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("op_win")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      in.addData(line("U", 1, 1), line("U", 2, 2), line("I", 3, 3),
+        line("U", 4, 6), line("D", 5, 2) /* no event time → excluded */)
+      q.processAllAvailable()
+      in.addData(line("U", 6, 30)) // advance watermark → finalize earlier windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("op_win")
+      .select("w_start", "op", "n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("2026-01-01 00:00:00.0", "U")) == 2L)
+    assert(rows(("2026-01-01 00:00:00.0", "I")) == 1L)
+    assert(rows(("2026-01-01 00:05:00.0", "U")) == 1L)
+    assert(!rows.keySet.exists(_._2 == "D")) // deletes carry no event time
+  }
 }
