@@ -86,12 +86,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    // sf0.1 → 8M events in 4 micro-batches of 2M: at 10^10 scale micro-batches
-    // are huge, so sustained throughput is measured with batches large enough
-    // that per-batch fixed cost (job scheduling, commit, checkpoint) is the
-    // same second-order term it would be on a real cluster. (8M rather than
-    // 12M so THREE interleaved N/4N replay pairs fit the round budget.)
-    val nEvents = math.max(600000L, (sf * 80e6).toLong) // sf0.1 → 8M events
+    // sf0.1 → 12M events in 4 micro-batches of 3M: at 10^10 scale
+    // micro-batches are huge, so sustained throughput is measured with
+    // batches large enough that per-batch fixed cost (job scheduling,
+    // commit, checkpoint, lineage/dead-letter writes) is the same
+    // second-order term it would be on a real cluster. Measured: an 8M feed
+    // (same 4-batch fixed cost over fewer events) read efficiency ~0.08
+    // lower purely from the fixed-cost share at 4N.
+    val nEvents = math.max(600000L, (sf * 120e6).toLong) // sf0.1 → 12M events
     val nBatches = 4
     // 32 files per batch dir → the (narrow) parse+infer stage has enough
     // input splits to occupy all 32 cores; at 8 cores they just queue.

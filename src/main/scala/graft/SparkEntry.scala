@@ -164,6 +164,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- F20 control-spec parse: "OID|criticality|BER-base64" with both
+    // optional (InsecureLDAPProcessor.java:299-378; BER decode :343-349);
+    // criticality parsed Boolean.parseBoolean-style (non-"true" → false) ----
+    "control_spec_parse" -> ((s, d) => {
+      val e = t(s, d, "events").filter(col("event_id") < 1000)
+      val ber = base64(unhex(substring(md5(col("event_id").cast("string")), 1, 12)))
+      val spec = when(col("event_id") % 3 === 0,
+        concat(lit("1.2.840."), col("event_id") % 5, lit("|true|"), ber))
+        .when(col("event_id") % 3 === 1,
+          concat(lit("2.16.840."), col("event_id") % 7, lit("|false")))
+        .otherwise(concat(lit("1.3.6."), col("event_id") % 11))
+      val parts = split(spec, "\\|")
+      e.select(col("event_id"), spec.as("spec"),
+        element_at(parts, 1).as("oid"),
+        when(size(parts) >= 2, lower(element_at(parts, 2)) === "true")
+          .otherwise(lit(false)).as("critical"),
+        when(size(parts) >= 3, hex(unbase64(element_at(parts, 3))))
+          .otherwise(lit(null).cast("string")).as("ber_hex"))
+        .orderBy("event_id")
+    }),
+
     // ---- joins (§2.3 J1-J3) ----
     "join_dim_broadcast" -> ((s, d) =>
       t(s, d, "customer")
@@ -312,6 +333,20 @@ object SparkEntry {
          |       'user:'||CAST(user_id AS VARCHAR)||':pw=********' AS masked
          |FROM f ORDER BY event_id""".stripMargin
     },
+    "control_spec_parse" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN '1.2.840.' || CAST(event_id % 5 AS VARCHAR) ||
+        |              '|true|' || to_base64(unhex(substr(md5(CAST(event_id AS VARCHAR)), 1, 12)))
+        |         WHEN event_id % 3 = 1 THEN '2.16.840.' || CAST(event_id % 7 AS VARCHAR) || '|false'
+        |         ELSE '1.3.6.' || CAST(event_id % 11 AS VARCHAR) END AS spec
+        |  FROM events WHERE event_id < 1000)
+        |SELECT event_id, spec,
+        |       split_part(spec, '|', 1) AS oid,
+        |       lower(split_part(spec, '|', 2)) = 'true' AS critical,
+        |       CASE WHEN len(string_split(spec, '|')) >= 3
+        |            THEN hex(from_base64(split_part(spec, '|', 3))) END AS ber_hex
+        |FROM b ORDER BY event_id""".stripMargin,
     "cdc_dead_letter" ->
       """SELECT reason, n FROM (
         |  SELECT 'envelope' AS reason, count(*) AS n FROM events WHERE event_id % 97 = 0

@@ -58,14 +58,21 @@ object TextOps {
       array_min(transform(shingleCol, s => xxhash64(s, lit(h))))
     }: _*)
 
-  /** (doc_id, sh) distinct 3-shingle sets, MATERIALIZED (persisted):
-    * Catalyst's CollapseProject would otherwise inline the shingle array
-    * into all `numHashes` hash lambdas (recomputing it 16×), and the LSH
-    * band self-join would re-evaluate the whole pipeline on both sides.
+  /** (doc_id, sh, n) distinct 3-shingle sets as 64-bit HASHES plus the set
+    * size, MATERIALIZED (persisted): Catalyst's CollapseProject would
+    * otherwise inline the shingle array into all `numHashes` hash lambdas
+    * (recomputing it 16×), and the LSH band self-join would re-evaluate the
+    * whole pipeline on both sides. Hashing the shingles once makes the
+    * per-pair exact verify a long-set intersection instead of a string-set
+    * one (same Jaccard as the string sets absent an xxhash64 collision
+    * inside one pair's union — ~10^-15 at these set sizes, deterministic,
+    * and the driver's string-set DuckDB oracle would catch it loudly).
     */
   private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
     withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text"), 3), s => xxhash64(s))).as("sh"))
+      .withColumn("n", size(col("sh")))
       .persist()
 
   /** MinHash-LSH candidate pairs + exact Jaccard verify — the standard
@@ -91,12 +98,13 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      // |A∪B| = |A|+|B|-|A∩B|: one array op per pair instead of two
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter.cast(DoubleType) / (col("n_a") + col("n_b") - inter)).as("jaccard"))
   }
 
   /** Near-duplicate PAIR LIST at Jaccard ≥ `threshold` via MinHash-LSH
@@ -127,12 +135,26 @@ object TextOps {
     * engines. `hexesCol` must hold the per-word md5 hex strings
     * (materialized once — 64 bit-folds share it).
     */
-  def simhashHalves(hexesCol: Column): (Column, Column) = {
+  /** Per-word hash halves for SimHash: each word's md5 parsed into two
+    * 32-bit ints (hex chars 1-8 / 9-16). Bit b of the word hash — bit
+    * (3 - b%4) of hex nibble (b/4 + 1), the layout the DuckDB oracle
+    * reproduces nibble-wise — is bit (31 - b%32) of the parsed int.
+    */
+  def simhashWordHalves(text: Column): Column =
+    transform(split(lower(text), " "), w => struct(
+      conv(substring(md5(w), 1, 8), 16, 10).cast(LongType).as("wl"),
+      conv(substring(md5(w), 9, 8), 16, 10).cast(LongType).as("wh")))
+
+  /** 64 sign-sum folds over the MATERIALIZED word halves (`wordsCol` must
+    * be a cached/stored column, or projection collapse re-evaluates the
+    * md5 parse once per bit): plain shift/mask per element.
+    */
+  def simhashHalves(wordsCol: Column): (Column, Column) = {
     def bitSum(b: Int): Column = {
-      val shift = 3 - (b % 4)
-      aggregate(hexesCol, lit(0), (acc, h) =>
-        acc + when(shiftright(conv(substring(h, b / 4 + 1, 1), 16, 10)
-          .cast(IntegerType), shift).bitwiseAND(1) === 1, 1).otherwise(-1))
+      val field = if (b < 32) "wl" else "wh"
+      val shift = 31 - (b % 32)
+      aggregate(wordsCol, lit(0), (acc, w) =>
+        acc + when(shiftright(w.getField(field), shift).bitwiseAND(1) === 1, 1).otherwise(-1))
     }
     def half(bits: Range): Column =
       bits.map(b => when(bitSum(b) > 0, lit(1L << (b % 32))).otherwise(lit(0L)))
@@ -141,11 +163,13 @@ object TextOps {
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
-    val hexes = withPlantedDups(spark, sfDir)
-      .select(col("doc_id"),
-        transform(split(lower(col("text")), " "), w => md5(w)).as("hx"))
-    val (lo, hi) = simhashHalves(col("hx"))
-    val d = hexes.select(col("doc_id"), lo.as("sh_lo"), hi.as("sh_hi")).persist()
+    // persist = projection-collapse barrier: the md5 parse runs once per
+    // word; the 64 bit-folds read the cached struct array.
+    val words = withPlantedDups(spark, sfDir)
+      .select(col("doc_id"), simhashWordHalves(col("text")).as("wx"))
+      .persist()
+    val (lo, hi) = simhashHalves(col("wx"))
+    val d = words.select(col("doc_id"), lo.as("sh_lo"), hi.as("sh_hi")).persist()
     // 8 blocks of 8 bits: Hamming ≤ 7 GUARANTEES a shared block (pigeonhole)
     // — the block equi-join has 100% recall at this radius, exact popcount
     // is the verdict. (At larger corpora use wider blocks for key

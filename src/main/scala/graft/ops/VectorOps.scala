@@ -60,6 +60,7 @@ object VectorOps {
   def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.999,
                      nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     val base = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val dim = dimOf(base)
     val planted = base.filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + 100000L)
     // Normalize ONCE per vector (persist barrier — otherwise CollapseProject
@@ -71,7 +72,7 @@ object VectorOps {
       .persist()
     val sigs = all.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
-        lshSignature(col("nv"), nPlanes, planeOffset = t * nPlanes)): _*)))
+        lshSignature(col("nv"), nPlanes, dim, planeOffset = t * nPlanes)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val cands = sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_a"))
       .join(sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_b")), Seq("tbl", "sig"))
@@ -89,27 +90,38 @@ object VectorOps {
   /** Deterministic oracle-able hyperplane component for (plane, dim):
     * +1 when the first hex nibble of md5("<plane>-<dim>") is < 8, else -1 —
     * reproducible on any cluster size AND by the DuckDB oracle (xxhash64
-    * has no cross-engine equivalent; md5 does).
+    * has no cross-engine equivalent; md5 does). The planes are STATIC given
+    * (plane, dim), so the whole sign vector is computed once driver-side
+    * and shipped as an array literal: the executors do a plain
+    * multiply-accumulate per plane with zero runtime hashing (the
+    * md5-per-element form cost ~4M md5 calls per query at 2k vectors).
     */
-  private def planeSign(plane: Int, dimIdx: Column): Column =
-    when(conv(substring(md5(concat(lit(s"$plane-"), dimIdx.cast(StringType))), 1, 1), 16, 10)
-      .cast(IntegerType) < 8, 1.0).otherwise(-1.0)
+  private def planeSigns(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$plane-$i".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
 
   /** Sign bit of the projection of `vec` onto pseudo-random plane `p`. */
-  private def signBit(vec: Column, p: Int): Column = {
+  private def signBit(vec: Column, p: Int, dim: Int): Column = {
     val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+      zip_with(vec, lit(planeSigns(p, dim)), (x, s) => x.cast(DoubleType) * s),
       lit(0.0), (acc, x) => acc + x)
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
   /** LSH bucket signature: `nPlanes` sign bits packed into a long;
     * `planeOffset` selects an independent plane family (per-table offset).
+    * `dim` = vector dimensionality (plane literals are sized to it).
     */
-  def lshSignature(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
-    (0 until nPlanes).map(p => shiftleft(signBit(vec, planeOffset + p), p))
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0): Column =
+    (0 until nPlanes).map(p => shiftleft(signBit(vec, planeOffset + p, dim), p))
       .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Vector dimensionality of the embeddings table (one tiny driver job). */
+  private def dimOf(df: DataFrame): Int =
+    df.select(size(col("embedding"))).head.getInt(0)
 
   /** ANN via random-hyperplane LSH: candidates share a bucket signature in
     * any of `tables` independent tables; exact cosine re-rank of candidates.
@@ -120,10 +132,11 @@ object VectorOps {
              nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, sfDir)
+    val dim = dimOf(e)
     val sigs = e.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until tables).map(t =>
         // independent tables: offset the plane index space per table
-        lshSignature(col("embedding"), nPlanes, planeOffset = t * nPlanes)): _*)))
+        lshSignature(col("embedding"), nPlanes, dim, planeOffset = t * nPlanes)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val q = sigs.filter(col("vec_id") < nQueries)
       .select(col("tbl"), col("sig"), col("vec_id").as("qid"), col("embedding").as("qv"))
