@@ -387,12 +387,24 @@ object MergeApply {
 
   /** Lineage: one row per batch under `<dir>/batches` — the apply result
     * (source LSN range → snapshot version) with nested per-bucket apply
-    * metrics (skew evidence). Single tiny write per batch.
+    * metrics (skew evidence). Appended DRIVER-SIDE as one JSON line per
+    * batch (`spark.read.json` reads it back): a per-batch Spark write job
+    * for one row was a measurable slice of the per-batch fixed cost that
+    * bounds scaling efficiency at small batch sizes.
     */
+  private val lineageMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
   private def writeLineage(spark: SparkSession, dir: String, r: ApplyResult,
                            perBucket: Seq[BucketMetric]): Unit = {
-    import spark.implicits._
-    Seq(LineageRow(r, perBucket)).toDS().coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$dir/batches")
+    val line = lineageMapper.writeValueAsString(LineageRow(r, perBucket)) + "\n"
+    val d = java.nio.file.Paths.get(dir, "batches")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.write(d.resolve("batches.jsonl"),
+      line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 }

@@ -78,7 +78,7 @@ class PipelineGoldenSpec extends AnyFunSuite {
     val dead = spark.read.parquet(s"$base/dead")
     assert(dead.count() == GoldenOracle.malformedCount(lines))
     // lineage has one row per applied batch with LSN-range→snapshot mapping
-    val lineage = spark.read.parquet(s"$base/lineage/batches")
+    val lineage = spark.read.json(s"$base/lineage/batches")
     assert(lineage.count() == results.size)
     assert(lineage.select("batch.version").distinct().count() == results.size)
     // per-bucket apply metrics exist for skew diagnostics
