@@ -145,6 +145,14 @@ object Bench {
     // per level first would discard the pairing.
     val pairEff = pairs.map { case ((_, ns), (_, xs)) => (ns / xs) / 4.0 }
     val efficiency = median(pairEff)
+    // Auxiliary evidence: the ratio from the pair with the smallest TOTAL
+    // time. Co-tenant interference only ever adds time, so the fastest pair
+    // is the least-disturbed window — the min-of-k estimator every
+    // microbenchmark harness uses, applied to whole pairs to keep the
+    // pairing honest.
+    val quietPairEff = pairs.minBy { case ((_, ns), (_, xs)) => ns + xs } match {
+      case ((_, ns), (_, xs)) => (ns / xs) / 4.0
+    }
     System.err.println(f"[bench] replay N=2 median: $evN events in $secN%.1fs ($epsN%.0f eps, " +
       f"spread ${spread(nSecs) * 100}%.1f%%); 4N=8 median: $ev4N in $sec4N%.1fs ($eps4N%.0f eps, " +
       f"spread ${spread(xSecs) * 100}%.1f%%); per-pair efficiency " +
@@ -169,7 +177,7 @@ object Bench {
     val best = math.max(eps4N, epsPeak)
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":{"events":$ev4N,"n_cores":2,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"n_spread":${spread(nSecs)}%.3f,"x4_cores":8,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"x4_spread":${spread(xSecs)}%.3f,"pair_efficiencies":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},"scaling_efficiency":$efficiency%.3f,"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}}"""
+      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":{"events":$ev4N,"n_cores":2,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"n_spread":${spread(nSecs)}%.3f,"x4_cores":8,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"x4_spread":${spread(xSecs)}%.3f,"pair_efficiencies":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},"quiet_pair_efficiency":$quietPairEff%.3f,"scaling_efficiency":$efficiency%.3f,"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}}"""
     // Stdout (driver contract) AND a file copy — round 1's JSON arrived
     // sbt-log-prefixed and failed the driver's parse; the file is the
     // always-clean fallback.
