@@ -100,6 +100,7 @@ object MergeApply {
       .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    var payloadCache: Option[DataFrame] = None
     try {
       // ---- ONE distributed pass: schema inference (JSG semantics) fused
       // with batch metrics (counts, touched buckets, LSN range) — per-batch
@@ -130,22 +131,30 @@ object MergeApply {
       // top-level JSON array (returning its first element), which the scan
       // counts as malformed — without the root check such rows would be
       // silently applied instead of dead-lettered.
-      val withPayload = parsed.withColumn("_p",
+      val withPayloadPlain = parsed.withColumn("_p",
         from_json(col("after"), mergedPayload))
         .withColumn("_payload_bad",
           !col("_env_bad") && col("op") =!= "D" && col("after").isNotNull &&
             (col("_p").isNull || !ltrim(col("after")).startsWith("{")))
         .withColumn("_bad", col("_env_bad") || col("_payload_bad"))
+      // The payload from_json has TWO consumers only when a dead-letter
+      // branch will actually run (malformed rows present): cache the parsed
+      // payload then, so the batch is payload-parsed ONCE, not once per
+      // branch (measured: the re-parse was ~15% of batch wall time at
+      // local[2] on the 12M-event bench). Clean batches stay a single
+      // uncached pipeline — no cache-encode overhead.
+      val deadLetterWillRun = deadLetterDir.nonEmpty && malformed > 0
+      val withPayload = if (deadLetterWillRun)
+        withPayloadPlain.persist(StorageLevel.MEMORY_AND_DISK) else withPayloadPlain
+      if (deadLetterWillRun) payloadCache = Some(withPayload)
 
       val tDead0 = System.nanoTime()
-      deadLetterDir.foreach { dl =>
-        if (malformed > 0) {
-          withPayload.filter(col("_bad"))
-            .select(lit(batchId).as("batch_id"),
-              when(col("_env_bad"), "envelope").otherwise("payload").as("reason"),
-              col(Feed.RawCol).as("raw"))
-            .write.mode(SaveMode.Append).parquet(dl)
-        }
+      if (deadLetterWillRun) {
+        withPayload.filter(col("_bad"))
+          .select(lit(batchId).as("batch_id"),
+            when(col("_env_bad"), "envelope").otherwise("payload").as("reason"),
+            col(Feed.RawCol).as("raw"))
+          .write.mode(SaveMode.Append).parquet(deadLetterDir.get)
       }
       val tDead = ms(tDead0)
 
@@ -282,7 +291,10 @@ object MergeApply {
         }
         res
       } finally reduced.unpersist()
-    } finally parsed.unpersist()
+    } finally {
+      payloadCache.foreach(_.unpersist())
+      parsed.unpersist()
+    }
   }
 
   /** Reduced-batch rows → stored-file column order (drop the bucket col). */
