@@ -149,9 +149,14 @@ object Bench {
     // when they diverge, the spread fields show why.
     val pairEff = pairs.map { case ((_, ns), (_, xs)) => (ns / xs) / 4.0 }
     val medianPairEff = median(pairEff)
-    val efficiency = pairs.minBy { case ((_, ns), (_, xs)) => ns + xs } match {
+    val quietPair = pairs.minBy { case ((_, ns), (_, xs)) => ns + xs } match {
       case ((_, ns), (_, xs)) => (ns / xs) / 4.0
     }
+    // A ratio above 1.0 is not achievable here (4× threads on one box share
+    // caches and memory bandwidth — no superlinear path), so it means the
+    // min-total pair's N run was itself disturbed; the median of pair
+    // ratios is the better-defended number then.
+    val efficiency = if (quietPair <= 1.0) quietPair else medianPairEff
     System.err.println(f"[bench] replay N=2 median: $evN events in $secN%.1fs ($epsN%.0f eps, " +
       f"spread ${spread(nSecs) * 100}%.1f%%); 4N=8 median: $ev4N in $sec4N%.1fs ($eps4N%.0f eps, " +
       f"spread ${spread(xSecs) * 100}%.1f%%); per-pair efficiency " +
