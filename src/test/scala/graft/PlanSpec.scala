@@ -66,6 +66,13 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
   }
 
+  test("pagination_follow: every hop is an equi-join (frontier broadcast), no cartesian") {
+    val p = plan("pagination_follow")
+    assert(!p.contains("CartesianProduct"), s"chain walk must not cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected equi-joins per hop:\n$p")
+  }
+
   test("sim_cosine_topk: query side broadcast (small × huge corpus shape)") {
     val p = plan("sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
