@@ -32,6 +32,8 @@ object ReplayMain {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", s"${8 * 1024 * 1024}"))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
