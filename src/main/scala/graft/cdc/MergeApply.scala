@@ -131,11 +131,15 @@ object MergeApply {
       // top-level JSON array (returning its first element), which the scan
       // counts as malformed — without the root check such rows would be
       // silently applied instead of dead-lettered.
+      // Object-root test matches Jackson's leading-whitespace tolerance
+      // (space/tab/CR/LF — Spark's ltrim strips only ASCII spaces, which
+      // would misroute a tab-led object to dead-letter and diverge from the
+      // scan's Jackson-based count).
       val withPayloadPlain = parsed.withColumn("_p",
         from_json(col("after"), mergedPayload))
         .withColumn("_payload_bad",
           !col("_env_bad") && col("op") =!= "D" && col("after").isNotNull &&
-            (col("_p").isNull || !ltrim(col("after")).startsWith("{")))
+            (col("_p").isNull || !col("after").rlike("^[ \\t\\r\\n]*\\{")))
         .withColumn("_bad", col("_env_bad") || col("_payload_bad"))
       // The payload from_json has TWO consumers only when a dead-letter
       // branch will actually run (malformed rows present): cache the parsed
@@ -408,6 +412,21 @@ object MergeApply {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
     m
+  }
+
+  /** Read the per-batch lineage rows back. Lineage is best-effort
+    * diagnostics, not part of the table's correctness contract: lines are
+    * appended driver-side without fsync, so a crash mid-append can leave one
+    * torn trailing line, and a crash between commitSnapshot and the append
+    * loses that batch's row permanently (the idempotent retry no-ops via
+    * hasBatch). Torn/partial lines are dropped here — each line must parse
+    * as standalone JSON before it reaches the reader.
+    */
+  def readLineage(spark: SparkSession, dir: String): DataFrame = {
+    val lines = spark.read.textFile(s"$dir/batches")
+      .filter((l: String) =>
+        try { lineageMapper.readTree(l); true } catch { case _: Exception => false })
+    spark.read.json(lines)
   }
 
   private def writeLineage(spark: SparkSession, dir: String, r: ApplyResult,

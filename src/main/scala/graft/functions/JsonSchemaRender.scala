@@ -99,12 +99,16 @@ object JsonSchemaRender {
         if (consistent) analyze(items, n.get(0), opts)
         // else: unconstrained items (JSG:512-515)
       } else {
-        // With inferFieldTypes=false the reference compares each sampled
-        // item's type against the COERCED type ("string"), so e.g. an array
-        // of integers yields an untyped items schema — only arrays of actual
-        // strings stay typed (JSG:518-536).
+        // With inferFieldTypes=false the reference sets itemType to the
+        // COERCED type ("string") and compares only items 1..n-1 against it
+        // — item 0's actual type is never checked (JSG:518-536). So [1]
+        // (empty loop) and [1,"x"] both emit items typed "string", while
+        // [1,2] degrades to untyped items.
         val target = if (opts.inferFieldTypes) firstType else "string"
-        if (consistent && firstType == target) items.put("type", target)
+        val matchesTarget =
+          if (opts.inferFieldTypes) consistent
+          else (1 until itemCount).forall(i => typeName(n.get(i)) == target)
+        if (matchesTarget) items.put("type", target)
       } // else: mixed simple types → untyped items (JSG:533-536)
     } // else: empty array → generic item schema (JSG:538-541)
     if (opts.includeExamples && n.size() > 0) {

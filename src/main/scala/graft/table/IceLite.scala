@@ -153,16 +153,29 @@ object IceLite {
 
   /** Commit with optimistic concurrency: the table is single-writer (one
     * streaming driver), and this guard turns an accidental second writer
-    * into a loud failure instead of silent lost updates — the commit is
-    * refused unless `_current` still points at the snapshot the writer
-    * loaded, AND the version file itself is claimed with a no-replace
-    * rename (the filesystem-level CAS, Iceberg's commit rule): two writers
-    * racing to the same version cannot both land `vNNNNN.json`.
+    * into a loud failure instead of silent lost updates. Three fences:
     *
-    * Crash recovery still works: a retry after a crash between the version
-    * file write and the `_current` swing finds the stale `vNNNNN.json` with
-    * `_current` still at the previous version, and reclaims it (the commit
-    * point is the pointer swing, so the stale file was never committed).
+    *  1. `_current` must still point at the snapshot the writer loaded;
+    *  2. the version file is claimed with a no-replace rename (the
+    *     filesystem-level CAS, Iceberg's commit rule);
+    *  3. each attempt stamps a unique `writerToken` into the snapshot JSON
+    *     and, AFTER swinging `_current`, re-reads the version file to check
+    *     the token is its own — the loser of any claim/reclaim race throws
+    *     instead of reporting a commit that never became visible.
+    *
+    * Fence 3 closes the reclaim TOCTOU: writer A claims `vNNNNN.json`;
+    * before A swings the pointer, writer B hits FileAlreadyExists, sees
+    * `_current` still at the previous version (a claimed-but-unswung file is
+    * indistinguishable from a crash orphan), and reclaims with a replacing
+    * move. Both then swing the (same-named) pointer — but the file now holds
+    * exactly one writer's token, so exactly one verify succeeds and the
+    * other throws conflict; its batch stays uncommitted and is retried.
+    *
+    * Crash recovery: a retry after a crash between the version file write
+    * and the `_current` swing finds the stale `vNNNNN.json` with `_current`
+    * still at the previous version, and reclaims it through the same path
+    * (the commit point is the pointer swing, so the stale file was never
+    * committed; with no live competitor the token verify trivially passes).
     */
   def commitSnapshot(path: String, snap: Snapshot): Unit = {
     val metaDir = Paths.get(path, "meta")
@@ -174,21 +187,30 @@ object IceLite {
         "(another writer committed since this batch loaded the snapshot)")
     if (currentNow() != expected) throw conflict(currentNow())
 
+    val token = java.util.UUID.randomUUID().toString
     val name = f"v${snap.version}%05d.json"
     val tmp = metaDir.resolve(name + ".tmp")
-    Files.write(tmp, snapshotBytes(snap))
+    Files.write(tmp, snapshotBytes(snap, token))
     try Files.move(tmp, metaDir.resolve(name)) // no REPLACE: claims the version
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val cur2 = currentNow()
-        // Version file exists but was never committed (pointer still at the
-        // previous version) → stale leftover of OUR crashed attempt; reclaim.
-        // A competing writer that completed its commit moved the pointer and
-        // is detected here instead of being silently overwritten.
+        // Pointer already moved → a competitor completed its commit.
         if (cur2 != expected) { Files.deleteIfExists(tmp); throw conflict(cur2) }
+        // Pointer still at the previous version: crash orphan OR a live
+        // competitor between claim and swing — can't tell here; reclaim and
+        // let the post-swing token verify pick the single winner.
         Files.move(tmp, metaDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
     }
     swingCurrent(metaDir, name)
+    val committedToken =
+      try {
+        val n = mapper.readTree(Files.readAllBytes(metaDir.resolve(name)))
+        if (n.has("writerToken")) n.get("writerToken").asText() else ""
+      } catch { case _: Exception => "" }
+    if (committedToken != token) throw new java.util.ConcurrentModificationException(
+      s"icelite commit conflict at $path: lost the claim race for $name " +
+        "(a concurrent writer reclaimed the version file; this commit never became visible)")
   }
 
   /** Write snapshot JSON atomically and swing the `_current` pointer.
@@ -200,7 +222,7 @@ object IceLite {
     val metaDir = Paths.get(path, "meta")
     val name = f"v${snap.version}%05d.json"
     val tmp = metaDir.resolve(name + ".tmp")
-    Files.write(tmp, snapshotBytes(snap))
+    Files.write(tmp, snapshotBytes(snap, ""))
     Files.move(tmp, metaDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
     swingCurrent(metaDir, name)
   }
@@ -212,8 +234,9 @@ object IceLite {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def snapshotBytes(snap: Snapshot): Array[Byte] = {
+  private def snapshotBytes(snap: Snapshot, writerToken: String): Array[Byte] = {
     val root: ObjectNode = mapper.createObjectNode()
+    if (writerToken.nonEmpty) root.put("writerToken", writerToken)
     root.put("version", snap.version)
     root.put("schemaV", snap.schemaV)
     root.put("numBuckets", snap.numBuckets)

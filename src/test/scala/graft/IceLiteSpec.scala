@@ -32,6 +32,21 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.loadVersion(dir, "v00000.json").version == 0)
   }
 
+  test("commit reclaims a crash-orphan version file (claimed but never swung)") {
+    val dir = TestSpark.freshDir("icelite-orphan")
+    val s0 = IceLite.create(dir, payload, numBuckets = 8)
+    // Simulate a writer that crashed between claiming v00001.json and
+    // swinging _current: the file exists (with the dead writer's token),
+    // _current still points at v00000.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "meta", "v00001.json"),
+      """{"writerToken":"dead-writer"}""".getBytes("UTF-8"))
+    // The retry reclaims the orphan through the replace path and its
+    // post-swing token verify passes (no live competitor).
+    IceLite.commitSnapshot(dir, s0.copy(version = 1, committedBatches = Set(7L)))
+    assert(IceLite.load(dir).committedBatches == Set(7L))
+  }
+
   test("commit refuses when another writer advanced _current (optimistic CAS)") {
     val dir = TestSpark.freshDir("icelite-cas")
     val s0 = IceLite.create(dir, payload, numBuckets = 8)

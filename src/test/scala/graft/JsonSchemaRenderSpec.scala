@@ -103,10 +103,17 @@ class JsonSchemaRenderSpec extends AnyFunSuite {
       JsonSchemaRender.Options(inferFieldTypes = false)).get).get("properties")
     assert(p.get("a").get("type").asText() == "string")
     assert(p.get("b").get("type").asText() == "string")
-    // Sampled item types are compared against the COERCED type ("string"):
-    // an integer array degrades to an UNTYPED items schema (JSG:518-536);
-    // only an array of actual strings stays typed.
+    // Sampled item types are compared against the COERCED type ("string"),
+    // and only items 1..n-1 are compared — item 0 never is (JSG:518-536):
+    // [1,2] degrades to an UNTYPED items schema, but [1] (empty loop) and
+    // [1,"x"] (item 1 IS a string) both stay typed "string".
     assert(!p.get("xs").get("items").has("type"))
     assert(p.get("ss").get("items").get("type").asText() == "string")
+    def items(doc: String) = parse(JsonSchemaRender.forDocument(doc,
+      JsonSchemaRender.Options(inferFieldTypes = false)).get)
+      .get("properties").get("xs").get("items")
+    assert(items("""{"xs":[1]}""").get("type").asText() == "string")
+    assert(items("""{"xs":[1,"x"]}""").get("type").asText() == "string")
+    assert(!items("""{"xs":[1,2]}""").has("type"))
   }
 }

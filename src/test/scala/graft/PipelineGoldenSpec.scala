@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.{FeedGen, Pipeline}
+import graft.cdc.{FeedGen, MergeApply, Pipeline}
 import graft.table.IceLite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -78,7 +78,8 @@ class PipelineGoldenSpec extends AnyFunSuite {
     val dead = spark.read.parquet(s"$base/dead")
     assert(dead.count() == GoldenOracle.malformedCount(lines))
     // lineage has one row per applied batch with LSN-range→snapshot mapping
-    val lineage = spark.read.json(s"$base/lineage/batches")
+    // (clean run — after a crash the contract is best-effort, see readLineage)
+    val lineage = MergeApply.readLineage(spark, s"$base/lineage")
     assert(lineage.count() == results.size)
     assert(lineage.select("batch.version").distinct().count() == results.size)
     // per-bucket apply metrics exist for skew diagnostics

@@ -71,6 +71,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"chain walk must not cross-join:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), s"expected equi-joins per hop:\n$p")
+    // The seq <= maxPages prune must reach the window as a rank-limit:
+    // WindowGroupLimitExec caps each chain's sort input map-side, making the
+    // page-table build O(chains × maxPages) instead of O(events).
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown (WindowGroupLimit) missing — page table built O(events):\n$p")
   }
 
   test("sim_cosine_topk: query side broadcast (small × huge corpus shape)") {
