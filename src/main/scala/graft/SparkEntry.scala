@@ -23,6 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- CDC / streaming core (SURVEY §2.1 S3-S9, §2.5, §2.9) ----
     "cdc_upsert_lww" -> ((s, d) => CdcQueries.upsertFromEvents(s, d)),
+    "cdc_bucket_prune" -> ((s, d) => CdcQueries.bucketPrunedSlice(s, d)),
+    "schema_evolution_read" -> ((s, d) => CdcQueries.evolvedUpsert(s, d)),
     "cdc_lww_window" -> ((s, d) => CdcQueries.lwwLatestPerKey(s, d)),
     "cdc_route_counts" -> ((s, d) => CdcQueries.routeCounts(s, d)),
     "cdc_dead_letter" -> ((s, d) => CdcQueries.deadLetterSummary(s, d)),
@@ -434,15 +436,25 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
          |  FROM scored)
          |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin,
+    // Image rows: the oracle reproduces the decoded features from the
+    // generator's pixel FORMULA (pixel = (7x+13y+doc_id) mod 256), never
+    // from PNG bytes (encoder-dependent); audio/video rows: byte-level
+    // features over the opaque payload.
     "multimodal_features" ->
       """SELECT doc_id,
         |       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |       length(text) AS n_bytes,
-        |       CASE WHEN length(text) = 0 THEN 0.0
+        |       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 1 AS INTEGER) END AS width,
+        |       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 12 + 1 AS INTEGER) END AS height,
+        |       CASE WHEN doc_id % 3 = 0 THEN round(list_avg(flatten(
+        |            list_transform(range(0, doc_id % 12 + 1), y ->
+        |              list_transform(range(0, doc_id % 16 + 1), x ->
+        |                (7*x + 13*y + doc_id) % 256)))), 4) END AS mean_pixel,
+        |       CASE WHEN doc_id % 3 <> 0 THEN CAST(length(text) AS INTEGER) END AS n_bytes,
+        |       CASE WHEN doc_id % 3 <> 0 THEN round(CASE WHEN length(text) = 0 THEN 0.0
         |            ELSE list_avg(list_transform(range(1, length(text) + 1),
-        |                 i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) END AS mean_byte,
-        |       CAST(((length(text) // 16) + 3) // 4 AS INTEGER) AS frames_sampled,
-        |       md5(text) AS fingerprint
+        |                 i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) END, 4) END AS mean_byte,
+        |       CASE WHEN doc_id % 3 <> 0 THEN CAST(((length(text) // 16) + 3) // 4 AS INTEGER) END AS frames_sampled,
+        |       CASE WHEN doc_id % 3 <> 0 THEN md5(text) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "cdc_upsert_lww" ->
       """WITH feed AS (
@@ -458,6 +470,47 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
         |  FROM feed)
         |SELECT conv_id, turn_idx, role, text, "value", ts
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Same converged table as cdc_upsert_lww, restricted to the 10 lowest
+    // conv_ids (user_id < 10) — the slice the engine serves via bucket
+    // pruning (only the matching buckets' files are opened; IceLiteSpec
+    // asserts the input-file set).
+    "cdc_bucket_prune" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value", ts
+        |  FROM events WHERE user_id < 10),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed)
+        |SELECT conv_id, turn_idx, role, text, "value", ts
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Two-phase staged feed: even event_ids carry integer `score`, odd ones
+    // fractional `score` + a new `model` field — the converged table after
+    // Long→Double widening and ADD COLUMN, per-key LWW.
+    "schema_evolution_read" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         CASE WHEN event_id % 2 = 0 THEN CAST(floor("value") AS DOUBLE)
+        |              ELSE "value" END AS score,
+        |         CASE WHEN event_id % 2 = 1 THEN 'm-' || CAST(user_id % 5 AS VARCHAR) END AS model
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed)
+        |SELECT conv_id, turn_idx, role, text, score, model
         |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY conv_id, turn_idx""".stripMargin,
     "cdc_lww_window" ->
@@ -577,12 +630,39 @@ object SparkEntry {
         |       len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Disjoint per-language stopword profiles (TextOps.LangProfiles) over
+    // the base corpus + deterministic planted fr/de/es docs; argmax with
+    // declaration-order tie-break and a ≥2-hit threshold.
     "lang_id" ->
-      """SELECT doc_id, lang,
-        |       CASE WHEN len(list_filter(string_split(lower(text), ' '),
-        |                 x -> x IN ('the','a','of','to','and','in','is'))) >= 2
-        |            THEN 'en' ELSE 'unk' END AS pred
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'fr', 'le les et une est pour doc-' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'de', 'der die das und ist nicht doc-' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 'es', 'el los que y para como doc-' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('the','a','of','to','and','in','is'))) AS c_en,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('le','les','et','une','est','pour'))) AS c_fr,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('der','die','das','und','ist','nicht'))) AS c_de,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('el','los','que','y','para','como'))) AS c_es
+        |  FROM corpus)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es AND c_en >= 2 THEN 'en'
+        |       WHEN c_fr >= c_de AND c_fr >= c_es AND c_fr >= 2 THEN 'fr'
+        |       WHEN c_de >= c_es AND c_de >= 2 THEN 'de'
+        |       WHEN c_es >= 2 THEN 'es'
+        |       ELSE 'unk' END AS pred
+        |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

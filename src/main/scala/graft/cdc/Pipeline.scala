@@ -19,12 +19,31 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Pipeline {
 
+  /** `retainVersions`: when set, expired snapshots' data dirs are vacuumed
+    * automatically every `vacuumEvery` commits during replay/tail (keeping
+    * the last `retainVersions` snapshots readable for time travel). Off by
+    * default — a long-running tail SHOULD set it, or the merge-on-read
+    * table accumulates every superseded delta/base file forever.
+    */
   case class Config(feedDir: String, tablePath: String, checkpointDir: String,
                     deadLetterDir: Option[String] = None,
                     lineageDir: Option[String] = None,
                     numBuckets: Int = 64,
                     maxFilesPerTrigger: Option[Int] = None,
-                    policy: MergeApply.CompactionPolicy = MergeApply.CompactionPolicy())
+                    policy: MergeApply.CompactionPolicy = MergeApply.CompactionPolicy(),
+                    retainVersions: Option[Int] = None,
+                    vacuumEvery: Int = 8)
+
+  /** Auto-vacuum hook: runs after a committed batch when the new snapshot
+    * version crosses a `vacuumEvery` boundary. Safe alongside the live
+    * writer: vacuum never touches dirs of versions above the loaded
+    * snapshot (in-flight commits) nor dirs referenced by retained ones.
+    */
+  private def maybeVacuum(cfg: Config, r: MergeApply.ApplyResult): Unit =
+    cfg.retainVersions.foreach { keep =>
+      if (r.committed && r.version % cfg.vacuumEvery == 0)
+        IceLite.vacuum(cfg.tablePath, keep)
+    }
 
   /** Replay everything currently in the feed, then stop (Trigger.AvailableNow).
     * Safe to call repeatedly / after a crash: the checkpoint + committed
@@ -45,6 +64,7 @@ object Pipeline {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val r = MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
           cfg.deadLetterDir, cfg.lineageDir, cfg.policy)
+        maybeVacuum(cfg, r)
         results.synchronized { results += r }
         ()
       }
@@ -119,8 +139,10 @@ object Pipeline {
       .text(cfg.feedDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        onBatch(MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
-          cfg.deadLetterDir, cfg.lineageDir, cfg.policy))
+        val r = MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
+          cfg.deadLetterDir, cfg.lineageDir, cfg.policy)
+        maybeVacuum(cfg, r)
+        onBatch(r)
         ()
       }
       .option("checkpointLocation", cfg.checkpointDir)

@@ -28,18 +28,93 @@ object CdcQueries {
     p.toString
   }
 
+  /** The events-derived feed replayed once per (JVM, sfDir) — shared by the
+    * queries that read converged TABLE STATE (`cdc_upsert_lww`,
+    * `cdc_bucket_prune`), so the driver sweep pays one replay, not one per
+    * query. Deterministic: the feed and the pipeline are pure functions of
+    * events.parquet, so every caller sees the same table.
+    */
+  private val builtShared = scala.collection.mutable.HashSet.empty[String]
+  private def sharedUpsertTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = Paths.get(workRoot, s"upsert-shared-$tag").toString
+    if (!builtShared.contains(base)) {
+      freshDir(s"upsert-shared", sfDir) // wipe any stale copy from a previous JVM
+      FeedGen.writeFeed(FeedGen.fromEvents(spark, sfDir), s"$base/feed", files = 8)
+      Pipeline.replay(spark, Pipeline.Config(
+        s"$base/feed", s"$base/table", s"$base/ckpt",
+        deadLetterDir = Some(s"$base/dead"), lineageDir = Some(s"$base/lineage"),
+        numBuckets = 32, maxFilesPerTrigger = Some(4)))
+      builtShared += base
+    }
+    s"$base/table"
+  }
+
   /** Full CDC replay of the events-derived feed; returns the converged
     * conversations table (FeedGen.fromEvents documents the key mapping).
     */
-  def upsertFromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = freshDir("upsert", sfDir)
-    FeedGen.writeFeed(FeedGen.fromEvents(spark, sfDir), s"$base/feed", files = 8)
-    Pipeline.replay(spark, Pipeline.Config(
-      s"$base/feed", s"$base/table", s"$base/ckpt",
-      deadLetterDir = Some(s"$base/dead"), lineageDir = Some(s"$base/lineage"),
-      numBuckets = 32, maxFilesPerTrigger = Some(4)))
-    IceLite.read(spark, s"$base/table")
+  def upsertFromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    IceLite.read(spark, sharedUpsertTable(spark, sfDir))
       .select("conv_id", "turn_idx", "role", "text", "value", "ts")
+      .orderBy("conv_id", "turn_idx")
+
+  /** P3 bucket pruning as a driver query (the scope-restricted read,
+    * InsecureLDAPProcessor.java:491-502 precedent): a keyed slice served
+    * through `IceLite.readStored(buckets = ...)` — the scan opens ONLY the
+    * requested buckets' files (IceLiteSpec asserts the input-file set), then
+    * filters to the requested keys. At 10^4 buckets / 100 TB this is the
+    * difference between a point-lookup-shaped read and a full table scan.
+    */
+  def bucketPrunedSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = sharedUpsertTable(spark, sfDir)
+    val snap = IceLite.load(table)
+    val convs = (0 until 10).map(u => f"conv-$u%04d")
+    // The keys' buckets, computed with the table's own hash (driver-side
+    // over a 10-row frame — xxhash64 has no JVM-library twin here).
+    import spark.implicits._
+    val buckets = convs.toDF("c")
+      .select(IceLite.bucketExpr(col("c"), snap.numBuckets).as("b"))
+      .collect().map(_.getInt(0)).toSet
+    IceLite.readStored(spark, table, snap, Some(buckets))
+      .filter(col("conv_id").isInCollection(convs) && !col(IceLite.DeletedCol))
+      .select("conv_id", "turn_idx", "role", "text", "value", "ts")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  /** F4 schema evolution as a driver query: the events feed staged in TWO
+    * phases through the same table — phase 1 (even event_ids) carries
+    * `score` as a JSON integer; phase 2 (odd event_ids) carries `score`
+    * fractional plus a new `model` field. The second replay widens the
+    * stored schema Long→Double and ADDs the column (no rewrite of phase-1
+    * files — they are read under their own schema and cast up), and the
+    * converged read is independently reproducible by the DuckDB oracle.
+    */
+  def evolvedUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("evolve", sfDir)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+      .withColumn("conv_id", concat(lit("conv-"), lpad(col("user_id").cast("string"), 4, "0")))
+      .withColumn("turn_idx", get_json_object(col("props"), "$.k").cast("int") % 10)
+      .withColumn("role", col("event_type"))
+      .withColumn("text", concat(col("event_type"), lit("#"), col("event_id").cast("string")))
+    def lines(phase: DataFrame, after: org.apache.spark.sql.Column) =
+      phase.select(to_json(struct(col("op"), col("event_id").as("lsn"),
+        col("conv_id"), col("turn_idx"),
+        when(col("op") =!= "D", after).as("after"))).as("value"))
+    val p1 = lines(ev.filter(col("event_id") % 2 === 0),
+      struct(col("role"), col("text"),
+        floor(col("value")).cast("int").as("score")))       // JSON integer
+    val p2 = lines(ev.filter(col("event_id") % 2 === 1),
+      struct(col("role"), col("text"),
+        col("value").as("score"),                           // fractional → widen
+        concat(lit("m-"), (col("user_id") % 5).cast("string")).as("model"))) // ADD COLUMN
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt", numBuckets = 16)
+    FeedGen.writeFeed(p1, s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    FeedGen.writeFeed(p2, s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    IceLite.read(spark, s"$base/table")
+      .select("conv_id", "turn_idx", "role", "text", "score", "model")
       .orderBy("conv_id", "turn_idx")
   }
 

@@ -252,15 +252,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Language-ID heuristic: English stopword density (n-gram heuristic in
-    * its simplest deterministic SQL-parity form).
+  /** Per-language stopword profiles for [[langId]] — deliberately DISJOINT
+    * word sets (no word appears in two profiles) so the scoring is a clean
+    * per-profile count, and fully SQL-expressible for the DuckDB oracle.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnStopwords,
+    "fr" -> Seq("le", "les", "et", "une", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "que", "y", "para", "como"))
+
+  /** Language-ID heuristic: per-language stopword density over disjoint
+    * profiles; prediction = first profile (in declaration order) with the
+    * maximal count, provided at least 2 stopwords hit — else "unk". The
+    * test corpus' text is English-shaped regardless of its `lang` column, so
+    * deterministic foreign-language docs are PLANTED (doc_id offsets 200k /
+    * 300k / 400k, every 20th doc): the query demonstrably separates four
+    * languages, and the planted text is a pure function of doc_id the
+    * oracle reproduces.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    val planted = Seq(("fr", 200000L), ("de", 300000L), ("es", 400000L)).map {
+      case (lang, off) =>
+        val profile = LangProfiles.toMap.apply(lang)
+        d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + off).as("doc_id"), lit(lang).as("lang"),
+            concat(lit(profile.mkString(" ") + " doc-"),
+              col("doc_id").cast(StringType)).as("text"))
+    }
+    val corpus = planted.foldLeft(d)(_ unionByName _)
     val words = split(lower(col("text")), " ")
-    docs(spark, sfDir).select(
-      col("doc_id"), col("lang"),
-      when(size(filter(words, w => w.isInCollection(EnStopwords))) >= 2, "en")
-        .otherwise("unk").as("pred"))
+    val counts = LangProfiles.map { case (lang, profile) =>
+      lang -> size(filter(words, w => w.isInCollection(profile)))
+    }
+    // argmax with declaration-order tie-break, threshold 2 — the oracle's
+    // CASE mirrors this exactly.
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val predCol = counts.foldRight(lit("unk")) { case ((lang, c), els) =>
+      when(c === best && c >= 2, lang).otherwise(els)
+    }
+    corpus.select(col("doc_id"), col("lang"), predCol.as("pred"))
       .orderBy("doc_id")
   }
 }

@@ -32,6 +32,35 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.loadVersion(dir, "v00000.json").version == 0)
   }
 
+  test("bucket-pruned read opens ONLY the requested buckets' files (P3)") {
+    val dir = TestSpark.freshDir("icelite-prune")
+    IceLite.create(dir, payload, numBuckets = 8)
+    val lines = (0 until 64).map(i =>
+      s"""{"op":"U","lsn":$i,"conv_id":"c-$i","turn_idx":0,"after":{"role":"r","text":"t$i"}}""")
+    graft.cdc.MergeApply.applyRaw(spark, dir, lines.toDF("value"), 0L)
+    val snap = IceLite.load(dir)
+    val touched = (snap.buckets ++ snap.deltas).map(_.bucket).toSet
+    assert(touched.size >= 4) // 64 keys over 8 buckets: several populated
+    val want = touched.take(2)
+    val pruned = IceLite.readStored(spark, dir, snap, Some(want))
+    val files = pruned.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => want.exists(b => f.contains(s"_bucket=$b/"))),
+      s"pruned read must open only buckets $want, opened: ${files.mkString(", ")}")
+    val all = IceLite.readStored(spark, dir, snap).inputFiles
+    assert(all.length > files.length, "full read must open strictly more files")
+    // and the rows really are the requested buckets' keys
+    val got = pruned.select("conv_id").as[String].collect().toSet
+    val expect = (0 until 64).map(i => s"c-$i")
+      .filter { c =>
+        val b = Seq(c).toDF("c")
+          .select(IceLite.bucketExpr(org.apache.spark.sql.functions.col("c"), 8))
+          .head().getInt(0)
+        want.contains(b)
+      }.toSet
+    assert(got == expect)
+  }
+
   test("commit reclaims a crash-orphan version file (claimed but never swung)") {
     val dir = TestSpark.freshDir("icelite-orphan")
     val s0 = IceLite.create(dir, payload, numBuckets = 8)

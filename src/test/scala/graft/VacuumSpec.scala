@@ -37,6 +37,51 @@ class VacuumSpec extends AnyFunSuite {
       Seq(("a", "v2"), ("b", "w")))
   }
 
+  test("vacuum racing a live commit: future (in-flight) data dirs survive") {
+    val dir = TestSpark.freshDir("vacuum-race")
+    IceLite.create(dir, numBuckets = 1)
+    val eager = CompactionPolicy(factor = 0.0, minRows = 1, maxDeltaFiles = 1)
+    MergeApply.applyRaw(spark, dir, Seq(ev(1, "a", "v1")).toDF("value"), 0L, policy = eager)
+    MergeApply.applyRaw(spark, dir, Seq(ev(2, "a", "v2")).toDF("value"), 1L, policy = eager)
+    // Simulate an in-flight writer that has written its data dir for the
+    // NEXT version but not yet committed the snapshot.
+    val snap = IceLite.load(dir)
+    val futureDir = Paths.get(dir, "data", f"v${snap.version + 1}%05d-delta", "_bucket=0")
+    Files.createDirectories(futureDir)
+    Files.write(futureDir.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+
+    IceLite.vacuum(dir, keepVersions = 1)
+    assert(Files.exists(futureDir), "vacuum must never delete future versions' dirs")
+    // the expired v1 dir IS gone
+    val remaining = Files.list(Paths.get(dir, "data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!remaining.exists(_.startsWith("v00001")), s"expired dir survived: $remaining")
+  }
+
+  test("pipeline auto-vacuum: retention keeps metadata+data bounded over a long tail") {
+    import graft.cdc.{FeedGen, Pipeline}
+    val base = TestSpark.freshDir("vacuum-pipeline")
+    FeedGen.synthetic(spark, Some(s"$base/feed"), 3000, nConvs = 20,
+      turnsPerConv = 10, nBatches = 12)
+    val results = Pipeline.replay(spark, Pipeline.Config(
+      s"$base/feed", s"$base/table", s"$base/ckpt", numBuckets = 4,
+      maxFilesPerTrigger = Some(1),
+      policy = CompactionPolicy(factor = 0.0, minRows = 1, maxDeltaFiles = 1),
+      retainVersions = Some(2), vacuumEvery = 4))
+    assert(results.size >= 8 && results.forall(_.committed))
+    // every batch compacted (eager policy) → without vacuum there would be
+    // one v*-base dir per batch; retention keeps only the recent window
+    val dirs = Files.list(Paths.get(s"$base/table", "data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(dirs.size < results.size,
+      s"auto-vacuum should have expired old dirs: ${dirs.toSeq.sorted}")
+    // and the converged table still matches the single-threaded oracle
+    val lines = spark.read.textFile(s"$base/feed").collect().toSeq
+    val oracle = GoldenOracle.converge(lines)
+    val table = IceLite.read(spark, s"$base/table")
+    assert(table.count() == oracle.size)
+  }
+
   test("vacuum keepVersions=2 retains the previous snapshot's dirs (time travel window)") {
     val dir = TestSpark.freshDir("vacuum-keep2")
     IceLite.create(dir, numBuckets = 1)
