@@ -115,21 +115,35 @@ object Bench {
     }
 
     // ---- CDC replay at N=2 and 4N=8 cores (same input), INTERLEAVED
-    // median-of-3 per level: the sandbox host is heavily co-tenanted and
-    // noisy; interleaving (N,4N, N,4N, N,4N) makes a co-tenant spike hit
-    // both levels symmetrically instead of biasing the ratio, the median
-    // rejects a single bad window, and the reported spread quantifies how
-    // quiet the host actually was during the measurement.
-    val pairs = (1 to 3).map { i =>
+    // pairs: the sandbox host is heavily co-tenanted and noisy; interleaving
+    // (N,4N, N,4N, ...) makes a co-tenant spike hit both levels symmetrically
+    // instead of biasing the ratio, and the reported spread quantifies how
+    // quiet the host actually was during the measurement. Three pairs by
+    // default; when the evidence is weak — the least-disturbed pair's ratio
+    // reads a physically impossible >1.0, or fewer than two pairs read
+    // ≤1.0 — up to two EXTRA pairs run rather than falling back to a
+    // nonsensical median (a ratio >1.0 is unreachable on one box where 4×
+    // threads share caches and memory bandwidth; it can only mean the
+    // pair's N run was itself throttled).
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[((Long, Double), (Long, Double))]
+    def runPair(i: Int): Unit = {
       val n = replayAt(2, feedDir, warmFeed, s"$work/run2")
       val x = replayAt(8, feedDir, warmFeed, s"$work/run8")
-      System.err.println(f"[bench] pair $i: N=2 ${n._2}%.1fs, 4N=8 ${x._2}%.1fs")
-      (n, x)
+      System.err.println(f"[bench] pair $i: N=2 ${n._2}%.1fs, 4N=8 ${x._2}%.1fs, " +
+        f"ratio ${(n._2 / x._2) / 4.0}%.3f")
+      pairs += ((n, x))
     }
+    (1 to 3).foreach(runPair)
+    def ratios() = pairs.map { case ((_, ns), (_, xs)) => (ns / xs) / 4.0 }
+    def quietRatio() = pairs.minBy { case ((_, ns), (_, xs)) => ns + xs } match {
+      case ((_, ns), (_, xs)) => (ns / xs) / 4.0
+    }
+    while (pairs.size < 5 && (quietRatio() > 1.0 || ratios().count(_ <= 1.0) < 2))
+      runPair(pairs.size + 1)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def spread(xs: Seq[Double]): Double = (xs.max - xs.min) / median(xs)
-    val nSecs = pairs.map(_._1._2)
-    val xSecs = pairs.map(_._2._2)
+    val nSecs = pairs.map(_._1._2).toSeq
+    val xSecs = pairs.map(_._2._2).toSeq
     val secN = median(nSecs)
     val sec4N = median(xSecs)
     val evN = pairs.head._1._1
@@ -143,20 +157,21 @@ object Bench {
     // so the fastest pair is the least-disturbed window — the min-of-k
     // estimator every microbenchmark harness uses, applied to WHOLE PAIRS so
     // a slow N can never be combined with a fast 4N (the interleaving keeps
-    // each ratio's two runs in one noise window). The median of per-pair
-    // ratios and the raw per-pair list ship alongside: on a quiet host the
-    // two estimators agree (measured 0.825-0.84 across five quiet windows);
-    // when they diverge, the spread fields show why.
-    val pairEff = pairs.map { case ((_, ns), (_, xs)) => (ns / xs) / 4.0 }
+    // each ratio's two runs in one noise window). Fallbacks, in order, when
+    // the min-total pair reads an impossible >1.0 even after the extra
+    // pairs: the median of the sub-1.0 ratios (≥2 of them agree by
+    // construction of the retry loop), else the minimum ratio (the least
+    // overestimate — a >1.0 ratio only ever OVERSTATES efficiency because
+    // its N run absorbed the disturbance). Raw per-pair wall times ship in
+    // the JSON so the call is auditable.
+    val pairEff = ratios().toSeq
     val medianPairEff = median(pairEff)
-    val quietPair = pairs.minBy { case ((_, ns), (_, xs)) => ns + xs } match {
-      case ((_, ns), (_, xs)) => (ns / xs) / 4.0
-    }
-    // A ratio above 1.0 is not achievable here (4× threads on one box share
-    // caches and memory bandwidth — no superlinear path), so it means the
-    // min-total pair's N run was itself disturbed; the median of pair
-    // ratios is the better-defended number then.
-    val efficiency = if (quietPair <= 1.0) quietPair else medianPairEff
+    val quietPair = quietRatio()
+    val subOne = pairEff.filter(_ <= 1.0)
+    val efficiency =
+      if (quietPair <= 1.0) quietPair
+      else if (subOne.size >= 2) median(subOne)
+      else pairEff.min
     System.err.println(f"[bench] replay N=2 median: $evN events in $secN%.1fs ($epsN%.0f eps, " +
       f"spread ${spread(nSecs) * 100}%.1f%%); 4N=8 median: $ev4N in $sec4N%.1fs ($eps4N%.0f eps, " +
       f"spread ${spread(xSecs) * 100}%.1f%%); per-pair efficiency " +
@@ -167,7 +182,7 @@ object Bench {
     // Insurance: land the replay-phase JSON before the query sweep, so a
     // harness timeout mid-sweep still leaves the scaling numbers on disk.
     writeJson(
-      f"""{"metric":"change_events_per_sec","value":${math.max(eps4N, epsPeak)}%.0f,"unit":"events/sec","queries":{},"sf":"$sfDir","cdc":${cdcJson(ev4N, secN, epsN, spread(nSecs), sec4N, eps4N, spread(xSecs), pairEff, medianPairEff, efficiency, secP, epsPeak)}}""")
+      f"""{"metric":"change_events_per_sec","value":${math.max(eps4N, epsPeak)}%.0f,"unit":"events/sec","queries":{},"sf":"$sfDir","cdc":${cdcJson(ev4N, secN, epsN, spread(nSecs), sec4N, eps4N, spread(xSecs), pairEff, medianPairEff, efficiency, secP, epsPeak, nSecs, xSecs)}}""")
 
     // ---- operator queries at local[32]
     val spark = session(32)
@@ -187,7 +202,7 @@ object Bench {
     val best = math.max(eps4N, epsPeak)
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":${cdcJson(ev4N, secN, epsN, spread(nSecs), sec4N, eps4N, spread(xSecs), pairEff, medianPairEff, efficiency, secP, epsPeak)}}"""
+      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":${cdcJson(ev4N, secN, epsN, spread(nSecs), sec4N, eps4N, spread(xSecs), pairEff, medianPairEff, efficiency, secP, epsPeak, nSecs, xSecs)}}"""
     // Stdout (driver contract) AND a file copy — round 1's JSON arrived
     // sbt-log-prefixed and failed the driver's parse; the file is the
     // always-clean fallback.
@@ -198,8 +213,9 @@ object Bench {
   private def cdcJson(ev4N: Long, secN: Double, epsN: Double, nSpread: Double,
                       sec4N: Double, eps4N: Double, xSpread: Double,
                       pairEff: Seq[Double], medianPairEff: Double,
-                      efficiency: Double, secP: Double, epsPeak: Double): String =
-    f"""{"events":$ev4N,"n_cores":2,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"n_spread":$nSpread%.3f,"x4_cores":8,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"x4_spread":$xSpread%.3f,"pair_efficiencies":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},"median_pair_efficiency":$medianPairEff%.3f,"scaling_efficiency":$efficiency%.3f,"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}"""
+                      efficiency: Double, secP: Double, epsPeak: Double,
+                      nSecs: Seq[Double], xSecs: Seq[Double]): String =
+    f"""{"events":$ev4N,"n_cores":2,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"n_spread":$nSpread%.3f,"x4_cores":8,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"x4_spread":$xSpread%.3f,"pair_n_secs":${nSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},"pair_x4_secs":${xSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},"pair_efficiencies":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},"median_pair_efficiency":$medianPairEff%.3f,"scaling_efficiency":$efficiency%.3f,"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}"""
 
   private def writeJson(json: String): Unit = {
     Files.createDirectories(Paths.get("/root/repo/target"))

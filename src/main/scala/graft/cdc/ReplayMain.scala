@@ -42,9 +42,10 @@ object ReplayMain {
     args.toList match {
       case "--gen" :: feedDir :: n :: rest =>
         val nBatches = rest.headOption.map(_.toInt).getOrElse(8)
+        val filesPerBatch = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
         FeedGen.synthetic(spark, Some(feedDir), n.toLong, nBatches = nBatches,
-          nConvs = math.max(100, (n.toLong / 200).toInt))
-        println(s"[gen] wrote feed: $feedDir events=$n batches=$nBatches")
+          nConvs = math.max(100, (n.toLong / 200).toInt), filesPerBatch = filesPerBatch)
+        println(s"[gen] wrote feed: $feedDir events=$n batches=$nBatches files/batch=$filesPerBatch")
 
       case feedDir :: tableDir :: ckpt :: rest =>
         val numBuckets = rest.headOption.map(_.toInt).getOrElse(64)
