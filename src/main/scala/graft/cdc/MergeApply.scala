@@ -131,15 +131,16 @@ object MergeApply {
       // top-level JSON array (returning its first element), which the scan
       // counts as malformed — without the root check such rows would be
       // silently applied instead of dead-lettered.
-      // Object-root test matches Jackson's leading-whitespace tolerance
-      // (space/tab/CR/LF — Spark's ltrim strips only ASCII spaces, which
-      // would misroute a tab-led object to dead-letter and diverge from the
-      // scan's Jackson-based count).
+      // Object-root test matches Jackson's leading-whitespace tolerance:
+      // two-arg ltrim with an explicit space/tab/CR/LF charset (one-arg
+      // ltrim strips only ASCII spaces, which would misroute a tab-led
+      // object to dead-letter and diverge from the scan's Jackson-based
+      // count; a regex here would run per row on the hot path).
       val withPayloadPlain = parsed.withColumn("_p",
         from_json(col("after"), mergedPayload))
         .withColumn("_payload_bad",
           !col("_env_bad") && col("op") =!= "D" && col("after").isNotNull &&
-            (col("_p").isNull || !col("after").rlike("^[ \\t\\r\\n]*\\{")))
+            (col("_p").isNull || !ltrim(col("after"), " \t\r\n").startsWith("{")))
         .withColumn("_bad", col("_env_bad") || col("_payload_bad"))
       // The payload from_json has TWO consumers only when a dead-letter
       // branch will actually run (malformed rows present): cache the parsed
