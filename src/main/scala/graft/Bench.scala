@@ -189,7 +189,12 @@ object Bench {
     val queryTimes =
       try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // noop sink, not count(): count() lets Catalyst prune every output
+        // column (a projection-heavy query can skip computing its results
+        // entirely, and orderBy sorts are dropped) — the noop write forces
+        // the delivered result to be materialized, rows discarded at the
+        // sink. Timings are therefore NOT comparable with the r1/r2 sweeps.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
         // Drop persisted intermediates (LSH signatures etc.) so cached blocks
         // never accumulate across the ~40 queries and distort later timings.

