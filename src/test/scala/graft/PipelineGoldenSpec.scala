@@ -87,6 +87,21 @@ class PipelineGoldenSpec extends AnyFunSuite {
     assert(buckets.count() >= results.size) // ≥1 touched bucket per batch
   }
 
+  test("lineage read drops torn/partial lines (crash tolerance)") {
+    // A crash mid-append can leave one torn trailing JSONL line; readLineage
+    // must drop it instead of surfacing a _corrupt_record row.
+    val base = TestSpark.freshDir("lineage-torn")
+    val d = Paths.get(base, "batches")
+    Files.createDirectories(d)
+    Files.write(d.resolve("batches.jsonl"),
+      ("""{"batch":{"batchId":0,"version":1},"buckets":[]}""" + "\n" +
+        """{"batch":{"batchId":1,"version":2},"buckets":[]}""" + "\n" +
+        """{"batch":{"batchId":2,"ver""").getBytes("UTF-8"))
+    val rows = MergeApply.readLineage(spark, base)
+    assert(rows.count() == 2)
+    assert(!rows.columns.contains("_corrupt_record"))
+  }
+
   test("schema evolution: model/tokens/score appear; score widened to double") {
     val base = TestSpark.freshDir("golden-evo")
     val feed = s"$base/feed"
