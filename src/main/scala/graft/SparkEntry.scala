@@ -632,11 +632,21 @@ object SparkEntry {
         |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
         |       round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / n_chars, 4) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Winnowing fingerprint: min over k=16-char windows of the Horner
+    // polynomial hash (base 31, mod 1e9+7) — list_reduce reproduces
+    // RollingMinHash's loop bit-exact (text is ASCII, so the engine's byte
+    // windows == these char windows); texts shorter than 16 hash as one
+    // whole-text window, empty text hashes to 0.
     "doc_fingerprint" ->
       """SELECT doc_id,
         |       greatest(len(text) - 15, 1) AS n_windows,
-        |       list_min(list_transform(range(1, greatest(len(text) - 15, 1) + 1),
-        |                i -> md5(substr(text, CAST(i AS INTEGER), 16)))) AS fp
+        |       CASE WHEN len(text) = 0 THEN 0 ELSE
+        |         list_min(list_transform(
+        |           range(1, len(text) - least(16, len(text)) + 2), i ->
+        |             list_reduce(list_transform(range(0, least(16, len(text))),
+        |               j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+        |               (a, x) -> (a * 31 + x) % 1000000007)))
+        |       END AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
