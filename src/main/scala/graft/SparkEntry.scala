@@ -453,6 +453,12 @@ object SparkEntry {
     // generator's pixel FORMULA (pixel = (7x+13y+doc_id) mod 256), never
     // from PNG bytes (encoder-dependent); audio/video rows: byte-level
     // features over the opaque payload.
+    // Image (real PNG decode): features from the generator's pixel formula.
+    // Audio (real WAV decode): 8 kHz mono 8-bit PCM, sample(i) =
+    // (11·doc_id + 5i) mod 256, n = doc_id%160+16; fingerprint = md5 of the
+    // PCM hex string. Video (declared stub): byte features over the text
+    // payload. Container byte streams are encoder-dependent and never
+    // asserted on — only decoded values are.
     "multimodal_features" ->
       """SELECT doc_id,
         |       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
@@ -462,12 +468,21 @@ object SparkEntry {
         |            list_transform(range(0, doc_id % 12 + 1), y ->
         |              list_transform(range(0, doc_id % 16 + 1), x ->
         |                (7*x + 13*y + doc_id) % 256)))), 4) END AS mean_pixel,
-        |       CASE WHEN doc_id % 3 <> 0 THEN CAST(length(text) AS INTEGER) END AS n_bytes,
-        |       CASE WHEN doc_id % 3 <> 0 THEN round(CASE WHEN length(text) = 0 THEN 0.0
+        |       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+        |       CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 160 + 16 AS INTEGER) END AS n_samples,
+        |       CASE WHEN doc_id % 3 = 1 THEN round(list_avg(
+        |            list_transform(range(0, CAST(doc_id % 160 + 16 AS INTEGER)),
+        |              i -> (11*doc_id + 5*i) % 256)), 4) END AS mean_sample,
+        |       CASE WHEN doc_id % 3 = 2 THEN CAST(length(text) AS INTEGER) END AS n_bytes,
+        |       CASE WHEN doc_id % 3 = 2 THEN round(CASE WHEN length(text) = 0 THEN 0.0
         |            ELSE list_avg(list_transform(range(1, length(text) + 1),
         |                 i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) END, 4) END AS mean_byte,
-        |       CASE WHEN doc_id % 3 <> 0 THEN CAST(((length(text) // 16) + 3) // 4 AS INTEGER) END AS frames_sampled,
-        |       CASE WHEN doc_id % 3 <> 0 THEN md5(text) END AS fingerprint
+        |       CASE WHEN doc_id % 3 = 2 THEN CAST(((length(text) // 16) + 3) // 4 AS INTEGER) END AS frames_sampled,
+        |       CASE WHEN doc_id % 3 = 1 THEN md5(list_reduce(
+        |              list_transform(range(0, CAST(doc_id % 160 + 16 AS INTEGER)),
+        |                i -> format('{:02x}', (11*doc_id + 5*i) % 256)),
+        |              (a, x) -> a || x))
+        |            WHEN doc_id % 3 = 2 THEN md5(text) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "cdc_upsert_lww" ->
       """WITH feed AS (

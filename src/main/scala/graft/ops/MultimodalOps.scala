@@ -7,24 +7,28 @@ import org.apache.spark.sql.types._
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed batch-wise with `mapPartitions` (the Scala analogue
   * of the mapInPandas batch shape).
   *
   * Image rows carry REAL PNG payloads and go through a REAL codec —
-  * `javax.imageio` ships in the JDK, no external dependency — so width,
-  * height and mean pixel value come from decoded pixels. The payloads are
-  * synthesized from a deterministic pixel formula, which makes the decoded
-  * features independently computable by the driver's DuckDB oracle (the
-  * PNG byte stream itself is encoder-dependent and is never asserted on).
+  * `javax.imageio` ships in the JDK — so width, height and mean pixel come
+  * from decoded pixels. Audio rows carry REAL WAV payloads decoded through
+  * `javax.sound.sampled` (also JDK-resident): sample rate and channel
+  * layout are parsed from the RIFF/fmt header and the PCM samples are read
+  * back through the codec. Both payloads are synthesized from deterministic
+  * sample formulas, which makes the DECODED features independently
+  * computable by the driver's DuckDB oracle (the container byte streams are
+  * encoder-dependent and never asserted on).
   *
-  * Audio/video rows keep the declared byte-level stub (no audio/video codec
-  * exists in the JDK or this container): deterministic features over the
-  * opaque payload bytes — length, mean byte, frame-sampling arithmetic,
-  * content fingerprint — each oracle-checkable. The Spark-side contract
-  * (binary column, typed features struct, partition-wise batching) is
-  * identical for all three modalities.
+  * Video rows keep the declared byte-level stub — the JDK has no video
+  * codec (and this container has no media libraries): deterministic
+  * features over the opaque payload bytes — length, mean byte,
+  * frame-sampling arithmetic, content fingerprint — each oracle-checkable.
+  * The Spark-side contract (binary column, typed features struct,
+  * partition-wise batching) is identical for all three modalities.
   */
 object MultimodalOps {
 
@@ -32,6 +36,8 @@ object MultimodalOps {
   case class MediaFeatures(doc_id: Long, media_type: String,
                            width: Option[Int], height: Option[Int],
                            mean_pixel: Option[Double],
+                           sample_rate: Option[Int], n_samples: Option[Int],
+                           mean_sample: Option[Double],
                            n_bytes: Option[Int], mean_byte: Option[Double],
                            frames_sampled: Option[Int], fingerprint: Option[String])
 
@@ -58,6 +64,26 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  val AudioRate = 8000
+
+  /** Deterministic mono 8-bit PCM WAV: n_samples = doc_id%160+16,
+    * sample(i) = (11·doc_id + 5i) mod 256 (unsigned), 8 kHz. The formula
+    * (not the RIFF bytes) is the oracle contract.
+    */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = (docId % 160 + 16).toInt
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = ((11L * docId + 5L * i) % 256).toByte; i += 1 }
+    // 8-bit WAV PCM is unsigned by spec (javax.sound encodes it as such).
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      AudioRate.toFloat, 8, 1, 1, AudioRate.toFloat, false)
+    val in = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Real decode: PNG bytes → (width, height, mean pixel of band 0). */
   private def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
@@ -72,7 +98,23 @@ object MultimodalOps {
     (img.getWidth, img.getHeight, sum.toDouble / (img.getWidth.toLong * img.getHeight))
   }
 
-  /** Byte-level features for modalities without a JDK codec (audio/video):
+  /** Real decode: WAV bytes → (sample rate from the parsed fmt chunk,
+    * sample count, mean unsigned sample, md5 of the PCM hex string).
+    */
+  private def decodeAudio(payload: Array[Byte]): (Int, Int, Double, String) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val rate = in.getFormat.getSampleRate.toInt
+    val pcm = in.readAllBytes()
+    var sum = 0L
+    var i = 0
+    while (i < pcm.length) { sum += pcm(i) & 0xFF; i += 1 }
+    val hex = pcm.map(b => f"${b & 0xFF}%02x").mkString
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    (rate, pcm.length, if (pcm.isEmpty) 0.0 else sum.toDouble / pcm.length, fp)
+  }
+
+  /** Byte-level features for the modality without a JDK codec (video):
     * length, mean byte, one frame per 16-byte block with every 4th kept,
     * md5 content fingerprint.
     */
@@ -86,25 +128,30 @@ object MultimodalOps {
     (bytes.length, if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, frames, fp)
   }
 
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def decode(r: MediaRow): MediaFeatures = r.media_type match {
     case "image" =>
       val (w, h, mean) = decodeImage(r.payload)
-      MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h),
-        Some(BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
-        None, None, None, None)
+      MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), Some(round4(mean)),
+        None, None, None, None, None, None, None)
+    case "audio" =>
+      val (rate, n, mean, fp) = decodeAudio(r.payload)
+      MediaFeatures(r.doc_id, r.media_type, None, None, None,
+        Some(rate), Some(n), Some(round4(mean)), None, None, None, Some(fp))
     case _ =>
       val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
       val (n, mean, frames, fp) = byteFeatures(bytes)
-      MediaFeatures(r.doc_id, r.media_type, None, None, None,
-        Some(n), Some(BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
-        Some(frames), Some(fp))
+      MediaFeatures(r.doc_id, r.media_type, None, None, None, None, None, None,
+        Some(n), Some(round4(mean)), Some(frames), Some(fp))
   }
 
   /** Build a media table from documents — image rows get real encoded PNGs,
-    * audio/video rows use text bytes as the opaque payload — then run the
-    * batch decode over partitions. The decode is embarrassingly parallel;
-    * the narrow `mapPartitions` keeps the batch shape a cluster needs (no
-    * per-row task, no driver round-trips).
+    * audio rows real encoded WAVs, video rows use text bytes as the opaque
+    * payload — then run the batch decode over partitions. The decode is
+    * embarrassingly parallel; the narrow `mapPartitions` keeps the batch
+    * shape a cluster needs (no per-row task, no driver round-trips).
     */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -115,7 +162,11 @@ object MultimodalOps {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
       .mapPartitions(_.map { r =>
-        if (r.media_type == "image") r.copy(payload = encodePng(r.doc_id)) else r
+        r.media_type match {
+          case "image" => r.copy(payload = encodePng(r.doc_id))
+          case "audio" => r.copy(payload = encodeWav(r.doc_id))
+          case _ => r
+        }
       })
     media.mapPartitions(_.map(decode)).toDF()
       .orderBy("doc_id")
