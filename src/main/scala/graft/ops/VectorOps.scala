@@ -11,17 +11,19 @@ import org.apache.spark.sql.types._
   *    huge corpus" shape, one broadcast join + one windowed top-k shuffle);
   *  - random-hyperplane LSH (the scale path: candidates from an equi-join on
   *    bucket signatures instead of a full scan per query).
-  * Dot products are `zip_with` + `aggregate` in double precision — codegen'd
-  * column expressions, no UDFs.
+  * Dot products run on [[graft.functions.DotProduct]], a native Catalyst
+  * `Expression` with codegen — the `aggregate(zip_with(...))` composition it
+  * replaced evaluates interpreted (higher-order functions sit outside
+  * whole-stage codegen) and allocated the zipped array per pair.
   */
 object VectorOps {
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark) // all entry points read this
     spark.read.parquet(s"$sfDir/embeddings.parquet")
+  }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -103,11 +105,12 @@ object VectorOps {
       if (((md(0) >> 4) & 0xF) < 8) 1.0 else -1.0
     }
 
-  /** Sign bit of the projection of `vec` onto pseudo-random plane `p`. */
+  /** Sign bit of the projection of `vec` onto pseudo-random plane `p`: the
+    * signs are ±1, so the projection is exactly `dot(vec, signs)` — one
+    * native DotProduct against the static plane literal.
+    */
   private def signBit(vec: Column, p: Int, dim: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, lit(planeSigns(p, dim)), (x, s) => x.cast(DoubleType) * s),
-      lit(0.0), (acc, x) => acc + x)
+    val proj = dot(vec, lit(planeSigns(p, dim)))
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
