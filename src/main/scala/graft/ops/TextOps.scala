@@ -164,30 +164,27 @@ object TextOps {
       conv(substring(md5(w), 1, 8), 16, 10).cast(LongType).as("wl"),
       conv(substring(md5(w), 9, 8), 16, 10).cast(LongType).as("wh")))
 
-  /** 64 sign-sum folds over the MATERIALIZED word halves (`wordsCol` must
-    * be a cached/stored column, or projection collapse re-evaluates the
-    * md5 parse once per bit): plain shift/mask per element.
+  /** Both 32-bit simhash halves in one compiled pass over the materialized
+    * word halves — [[graft.functions.SimhashPack]], a native codegen
+    * `Expression` keeping 64 counters per document. The 64-separate-
+    * interpreted-`aggregate`s form this replaces (one full array pass per
+    * bit, outside whole-stage codegen) measured 3.3 s on the sf0.1 corpus
+    * for the fingerprint stage alone. Bit-exact with the previous fold; the
+    * DuckDB oracle recomputes the fingerprints from text and proves it.
     */
-  def simhashHalves(wordsCol: Column): (Column, Column) = {
-    def bitSum(b: Int): Column = {
-      val field = if (b < 32) "wl" else "wh"
-      val shift = 31 - (b % 32)
-      aggregate(wordsCol, lit(0), (acc, w) =>
-        acc + when(shiftright(w.getField(field), shift).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    def half(bits: Range): Column =
-      bits.map(b => when(bitSum(b) > 0, lit(1L << (b % 32))).otherwise(lit(0L)))
-        .reduce((a, c) => a.bitwiseOR(c))
-    (half(0 until 32), half(32 until 64))
+  def simhashHalves(spark: SparkSession, wordsCol: Column): (Column, Column) = {
+    graft.functions.SimhashPack.register(spark)
+    val packed = call_function("simhash_pack", wordsCol)
+    (element_at(packed, 1), element_at(packed, 2))
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
     // persist = projection-collapse barrier: the md5 parse runs once per
-    // word; the 64 bit-folds read the cached struct array.
+    // word; the packed bit-fold reads the cached struct array.
     val words = withPlantedDups(spark, sfDir)
       .select(col("doc_id"), simhashWordHalves(col("text")).as("wx"))
       .persist()
-    val (lo, hi) = simhashHalves(col("wx"))
+    val (lo, hi) = simhashHalves(spark, col("wx"))
     val d = words.select(col("doc_id"), lo.as("sh_lo"), hi.as("sh_hi")).persist()
     // 8 blocks of 8 bits: Hamming ≤ 7 GUARANTEES a shared block (pigeonhole)
     // — the block equi-join has 100% recall at this radius, exact popcount
