@@ -51,12 +51,15 @@ object TextOps {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the doc's shingles.
+    * minimum xxhash64 over the doc's shingles — one native codegen pass
+    * ([[graft.functions.MinhashSig]], bit-exact with the
+    * `array_min(transform(.., xxhash64))`-per-hash composition it replaced;
+    * see its parity spec).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(h))))
-    }: _*)
+  def minhashSignature(spark: SparkSession, shingleCol: Column, numHashes: Int): Column = {
+    graft.functions.MinhashSig.register(spark)
+    call_function("minhash_sig", shingleCol, lit(numHashes))
+  }
 
   /** (doc_id, sh, n) distinct 3-shingle sets as 64-bit HASHES plus the set
     * size, MATERIALIZED (persisted): Catalyst's CollapseProject would
@@ -108,7 +111,7 @@ object TextOps {
   def candidateJaccard(spark: SparkSession, sfDir: String,
                        numHashes: Int = 16): DataFrame = {
     val sh = shingleSets(spark, sfDir)
-    val sigs = sh.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val sigs = sh.select(col("doc_id"), minhashSignature(spark, col("sh"), numHashes).as("sig"))
     val banded = sigs.select(col("doc_id"), posexplode(col("sig")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val l = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
