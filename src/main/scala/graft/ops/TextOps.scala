@@ -71,30 +71,25 @@ object TextOps {
     */
   private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
     withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), array_distinct(hashedShingles(col("text"))).as("sh"))
+      .select(col("doc_id"), array_distinct(hashedShingles(spark, col("text"))).as("sh"))
       .withColumn("n", size(col("sh")))
       .persist()
 
-  /** Hashed 3-shingle set: each word hashed once, then a rolling 3-hash
-    * combine via two zip_withs over shifted copies — O(words) with no
-    * string re-materialization (the string form [[shingles]] re-evaluates
-    * `split` inside the per-element lambda: measured 6.4 s vs <1 s at 5.7k
-    * docs). Word tuples and their joined strings are in bijection (words
-    * cannot contain the separator), so the distinct-set SIZES — hence the
+  /** Hashed 3-shingle set in one native codegen pass
+    * ([[graft.functions.ShingleHashes]]): split, word-hash and rolling
+    * 3-combine fused into a single loop over the text bytes — bit-exact
+    * with the transform + double-zip_with HOF composition it replaced (its
+    * parity spec covers multi-space/trailing-space/short-text edges).
+    * Word tuples and their joined strings are in bijection (words cannot
+    * contain the separator), so the distinct-set SIZES — hence the
     * Jaccard — match the string-shingle sets absent an xxhash64 collision
     * inside one pair's union (~10^-15 at these set sizes, deterministic,
     * and the driver's string-set DuckDB oracle would catch one loudly).
     */
-  def hashedShingles(text: Column, k: Int = 3): Column = {
+  def hashedShingles(spark: SparkSession, text: Column, k: Int = 3): Column = {
     require(k == 3, "rolling combine written for k=3 (the reference shingle width)")
-    val w = split(lower(text), " ")
-    val h = transform(w, x => xxhash64(x))
-    // zip_with null-pads the shorter side, so trim the rolled result to the
-    // true shingle count (size-2 for ≥3 words)
-    val rolled = slice(zip_with(
-      zip_with(h, slice(h, lit(2), size(h)), (a, b) => xxhash64(a, b)),
-      slice(h, lit(3), size(h)), (ab, c) => xxhash64(ab, c)), lit(1), size(w) - 2)
-    when(size(w) < 3, array(xxhash64(array_join(w, " ")))).otherwise(rolled)
+    graft.functions.ShingleHashes.register(spark)
+    call_function("shingle_hashes", text)
   }
 
   /** MinHash-LSH candidate pairs + exact Jaccard verify — the standard
