@@ -276,7 +276,7 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
 
   /** One 32-bit SimHash half as a DuckDB expression over `hs` (per-word md5
-    * hex list) — bit-for-bit the same fingerprint as TextOps.simhashHalves.
+    * hex list) — bit-for-bit the fingerprint graft.functions.SimhashBits emits.
     */
   private def simhashHalfSql(bits: Range): String =
     bits.map { b =>

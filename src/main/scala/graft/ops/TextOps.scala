@@ -162,28 +162,17 @@ object TextOps {
       conv(substring(md5(w), 1, 8), 16, 10).cast(LongType).as("wl"),
       conv(substring(md5(w), 9, 8), 16, 10).cast(LongType).as("wh")))
 
-  /** Both 32-bit simhash halves in one compiled pass over the materialized
-    * word halves — [[graft.functions.SimhashPack]], a native codegen
-    * `Expression` keeping 64 counters per document. The 64-separate-
-    * interpreted-`aggregate`s form this replaces (one full array pass per
-    * bit, outside whole-stage codegen) measured 3.3 s on the sf0.1 corpus
-    * for the fingerprint stage alone. Bit-exact with the previous fold; the
-    * DuckDB oracle recomputes the fingerprints from text and proves it.
-    */
-  def simhashHalves(spark: SparkSession, wordsCol: Column): (Column, Column) = {
-    graft.functions.SimhashPack.register(spark)
-    val packed = call_function("simhash_pack", wordsCol)
-    (element_at(packed, 1), element_at(packed, 2))
-  }
-
   def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
-    // persist = projection-collapse barrier: the md5 parse runs once per
-    // word; the packed bit-fold reads the cached struct array.
-    val words = withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), simhashWordHalves(col("text")).as("wx"))
+    // The whole fingerprint — lowercase, split, md5 per word, 64-bit ±1
+    // fold — is ONE native codegen pass ([[graft.functions.SimhashBits]]),
+    // so no per-word struct array is materialized and the old persist
+    // barrier for it is gone. Its parity spec pins the fingerprint to the
+    // simhashWordHalves layout; the DuckDB oracle recomputes it from text.
+    graft.functions.SimhashBits.register(spark)
+    val fp = call_function("simhash_bits", col("text"))
+    val d = withPlantedDups(spark, sfDir)
+      .select(col("doc_id"), element_at(fp, 1).as("sh_lo"), element_at(fp, 2).as("sh_hi"))
       .persist()
-    val (lo, hi) = simhashHalves(spark, col("wx"))
-    val d = words.select(col("doc_id"), lo.as("sh_lo"), hi.as("sh_hi")).persist()
     // 8 blocks of 8 bits: Hamming ≤ 7 GUARANTEES a shared block (pigeonhole)
     // — the block equi-join has 100% recall at this radius, exact popcount
     // is the verdict. (At larger corpora use wider blocks for key
