@@ -39,6 +39,11 @@ case class SimhashBits(child: Expression) extends UnaryExpression {
 
 object SimhashBits {
 
+  // MessageDigest.getInstance does a provider lookup — per-thread reuse, not
+  // per-row (this runs once per document over the whole corpus).
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def bits(text: UTF8String): ArrayData = {
     val bytes = text.getBytes.clone()
     var i = 0
@@ -47,7 +52,7 @@ object SimhashBits {
       if (c >= 'A' && c <= 'Z') bytes(i) = (c + 32).toByte
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val counts = new Array[Int](64)
     var start = 0
     i = 0
