@@ -32,6 +32,11 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object MultimodalOps {
 
+  // MessageDigest.getInstance does a provider lookup — per-thread reuse,
+  // not per-row (the decode runs once per media row over the corpus).
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, media_type: String,
                            width: Option[Int], height: Option[Int],
@@ -109,7 +114,7 @@ object MultimodalOps {
     var i = 0
     while (i < pcm.length) { sum += pcm(i) & 0xFF; i += 1 }
     val hex = pcm.map(b => f"${b & 0xFF}%02x").mkString
-    val fp = java.security.MessageDigest.getInstance("MD5")
+    val fp = mdLocal.get()
       .digest(hex.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
     (rate, pcm.length, if (pcm.isEmpty) 0.0 else sum.toDouble / pcm.length, fp)
   }
@@ -122,7 +127,7 @@ object MultimodalOps {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
-    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val md = mdLocal.get().digest(bytes)
     val fp = md.map(b => f"${b & 0xFF}%02x").mkString
     val frames = (bytes.length / 16 + 3) / 4
     (bytes.length, if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, frames, fp)
