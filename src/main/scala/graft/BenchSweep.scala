@@ -23,6 +23,15 @@ object BenchSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: the first query in a fresh JVM pays ~5 s of session
+    // init, parquet-footer reads and codegen/JIT ramp that would otherwise
+    // be attributed to whichever query sorts first.
+    try {
+      spark.read.parquet(s"$sfDir/events.parquet").count()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))).count()
+    } catch { case _: Throwable => () }
     try SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
