@@ -38,7 +38,8 @@ object Bench {
 
   private def rmrf(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f)))
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -24,10 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * through: word hash = `hashUnsafeBytes(utf8, 42)`; pair/triple combine =
   * `hashLong(b, hashLong(a, 42))`. The HOF form evaluates interpreted
   * (outside whole-stage codegen) and materializes four intermediate arrays
-  * per document; this is one loop over the text bytes. ASCII lowercase
-  * matches `lower` on this corpus (documents are ASCII — checked; non-ASCII
-  * bytes pass through unchanged, which matches UTF8String.toLowerCase for
-  * the ASCII subset the shingle sets are defined over).
+  * per document; this is one loop over the text bytes. Lowercasing is
+  * `UTF8String.toLowerCase` — the exact evaluation of Spark's `lower()` —
+  * so parity holds for ANY input, not just ASCII (the fuzz spec includes
+  * non-ASCII cases); splitting on the raw 0x20 byte is UTF-8-safe because
+  * multi-byte sequences never contain it.
   */
 case class ShingleHashes(child: Expression) extends UnaryExpression {
 
@@ -57,17 +58,12 @@ object ShingleHashes {
     XXH64.hashLong(b, XXH64.hashLong(a, Seed))
 
   def shingles(text: UTF8String): ArrayData = {
-    // ASCII lowercase on a copy of the UTF-8 bytes (corpus contract).
-    val bytes = text.getBytes.clone()
-    var i = 0
-    while (i < bytes.length) {
-      val c = bytes(i)
-      if (c >= 'A' && c <= 'Z') bytes(i) = (c + 32).toByte
-      i += 1
-    }
+    // Spark-identical lowercase (UTF8String.toLowerCase has an ASCII fast
+    // path internally; no manual byte map that would diverge on non-ASCII).
+    val bytes = text.toLowerCase.getBytes
     // Split on ' ' keeping empty segments (Spark split limit -1 semantics).
     var nWords = 1
-    i = 0
+    var i = 0
     while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
     if (nWords < 3) {
       // Whole (lowercased) text joined by " " is the text itself.

@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * ±1 sum is positive. The dedup_simhash DuckDB oracle recomputes the
   * fingerprints from text nibble-wise, so end-to-end bit-exactness is
   * driver-verified too. Split keeps empty segments (Spark split limit -1);
-  * ASCII lowercase per the corpus contract (see ShingleHashes).
+  * lowercase is `UTF8String.toLowerCase` — the exact evaluation of Spark's
+  * `lower()` — so the fingerprint matches the HOF composition for any
+  * input, ASCII or not (fuzzed in NativeExprFuzzSpec).
   */
 case class SimhashBits(child: Expression) extends UnaryExpression {
 
@@ -45,13 +47,9 @@ object SimhashBits {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   def bits(text: UTF8String): ArrayData = {
-    val bytes = text.getBytes.clone()
+    // Spark-identical lowercase (see ShingleHashes.shingles).
+    val bytes = text.toLowerCase.getBytes
     var i = 0
-    while (i < bytes.length) {
-      val c = bytes(i)
-      if (c >= 'A' && c <= 'Z') bytes(i) = (c + 32).toByte
-      i += 1
-    }
     val md = mdLocal.get()
     val counts = new Array[Int](64)
     var start = 0

@@ -23,7 +23,8 @@ object CdcQueries {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val p = Paths.get(workRoot, s"$name-$tag")
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f)))
     Files.createDirectories(p)
     p.toString
   }

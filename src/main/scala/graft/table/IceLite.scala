@@ -153,8 +153,14 @@ object IceLite {
 
   /** Commit with optimistic concurrency: the table is single-writer (one
     * streaming driver), and this guard turns an accidental second writer
-    * into a loud failure instead of silent lost updates. Three fences:
+    * into a loud failure instead of silent lost updates. Four fences:
     *
+    *  0. the whole claim → swing → verify sequence runs under an exclusive
+    *     `meta/_commit.lock` FileChannel lock (plus a JVM-level monitor —
+    *     `FileChannel.lock` throws rather than blocks on same-JVM overlap),
+    *     so on any filesystem with working advisory locks, claim and swing
+    *     are MUTUALLY EXCLUSIVE and the reclaim TOCTOU below cannot
+    *     interleave at all;
     *  1. `_current` must still point at the snapshot the writer loaded;
     *  2. the version file is claimed with a no-replace rename (the
     *     filesystem-level CAS, Iceberg's commit rule);
@@ -163,22 +169,46 @@ object IceLite {
     *     the token is its own — the loser of any claim/reclaim race throws
     *     instead of reporting a commit that never became visible.
     *
-    * Fence 3 closes the reclaim TOCTOU: writer A claims `vNNNNN.json`;
-    * before A swings the pointer, writer B hits FileAlreadyExists, sees
-    * `_current` still at the previous version (a claimed-but-unswung file is
-    * indistinguishable from a crash orphan), and reclaims with a replacing
-    * move. Both then swing the (same-named) pointer — but the file now holds
-    * exactly one writer's token, so exactly one verify succeeds and the
-    * other throws conflict; its batch stays uncommitted and is retried.
+    * Fence 3 matters on filesystems where advisory locks are unreliable
+    * (NFS, object-store gateways): there it NARROWS the reclaim race window
+    * to the gap between the competitor's swing and its verify — writer A
+    * claims `vNNNNN.json`; before A swings the pointer, writer B hits
+    * FileAlreadyExists, sees `_current` still at the previous version (a
+    * claimed-but-unswung file is indistinguishable from a crash orphan), and
+    * reclaims with a replacing move. Both then swing the (same-named)
+    * pointer; the file holds one writer's token, so that writer's verify
+    * passes and the other throws conflict. Without fence 0 this is not a
+    * strict exactly-one-winner guarantee (both moves can land before either
+    * verify reads); with fence 0 the interleaving is impossible.
     *
     * Crash recovery: a retry after a crash between the version file write
     * and the `_current` swing finds the stale `vNNNNN.json` with `_current`
     * still at the previous version, and reclaims it through the same path
     * (the commit point is the pointer swing, so the stale file was never
     * committed; with no live competitor the token verify trivially passes).
+    * A crash while holding `_commit.lock` releases it with the process.
     */
   def commitSnapshot(path: String, snap: Snapshot): Unit = {
     val metaDir = Paths.get(path, "meta")
+    val monitor = commitMonitors.computeIfAbsent(
+      metaDir.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(metaDir.resolve("_commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val flock = ch.lock()
+        try commitLocked(path, metaDir, snap)
+        finally flock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Same-JVM writers must serialize BEFORE FileChannel.lock (which throws
+    * OverlappingFileLockException on same-JVM overlap instead of waiting).
+    */
+  private val commitMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def commitLocked(path: String, metaDir: Path, snap: Snapshot): Unit = {
     def currentNow(): String =
       new String(Files.readAllBytes(metaDir.resolve("_current")), "UTF-8").trim
     val expected = f"v${snap.version - 1}%05d.json"
@@ -283,15 +313,24 @@ object IceLite {
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) return Nil
     val verRe = "^v(\\d+)".r
-    val victims = Files.list(dataDir).iterator().asScala
-      .filter { p =>
-        val name = p.getFileName.toString
-        val ver = verRe.findFirstMatchIn(name).map(_.group(1).toInt)
-        !referenced.contains(s"data/$name") && ver.exists(_ <= cur.version)
-      }
-      .toSeq
+    // Directory streams are closed eagerly (Using): with auto-vacuum running
+    // every few commits over a long tail, a leaked stream per vacuum would
+    // accumulate file descriptors for the process lifetime.
+    val victims = scala.util.Using.resource(Files.list(dataDir)) { ls =>
+      ls.iterator().asScala
+        .filter { p =>
+          val name = p.getFileName.toString
+          val ver = verRe.findFirstMatchIn(name).map(_.group(1).toInt)
+          !referenced.contains(s"data/$name") && ver.exists(_ <= cur.version)
+        }
+        .toSeq
+    }
     victims.foreach { p =>
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p)) { w =>
+        // sorted() drains the walk before the first delete, so deleting
+        // during forEach never races the traversal.
+        w.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      }
     }
     victims.map(_.getFileName.toString).sorted
   }

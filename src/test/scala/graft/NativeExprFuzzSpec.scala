@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Randomized parity fuzz for the native codegen expressions vs the builtin
   * compositions they replaced — 300 generated strings stressing the split
   * semantics (consecutive/leading/trailing spaces, empty words, short
-  * texts, punctuation-heavy tokens) in ONE DataFrame pass per expression.
+  * texts, punctuation-heavy tokens, and NON-ASCII text — accented Latin,
+  * Greek with case mappings, CJK multi-byte — so the `lower()` parity
+  * contract is exercised beyond the ASCII fast path) in ONE DataFrame pass
+  * per expression.
   */
 class NativeExprFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -16,12 +19,14 @@ class NativeExprFuzzSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260817L)
     val alphabets = Seq(
       "abcdefgh ", "AbC deF@. ", "x  y", " z ", "0123-=%$ ",
-      "word word word word ")
+      "word word word word ",
+      "Äß Éè Øå ", "ΣΩΦ σωφ ", "日本語 テスト ", "aÄ bΩ c語 ")
     (0 until 300).map { i =>
       val a = alphabets(i % alphabets.size)
       val len = rnd.nextInt(120)
       (0 until len).map(_ => a(rnd.nextInt(a.length))).mkString
-    } :+ "" :+ " " :+ "  " :+ "a" :+ "a b" :+ "a b c"
+    } :+ "" :+ " " :+ "  " :+ "a" :+ "a b" :+ "a b c" :+
+      "ÉCOLE ÀÉÎÖÜ çÇ" :+ "ΣΟΦΌΣ ΤΕΛΟΣ" :+ "straße GROẞ"
   }
 
   private def refShingles(text: Column): Column = {
