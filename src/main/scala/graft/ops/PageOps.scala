@@ -56,7 +56,7 @@ object PageOps {
     // Chain lengths (the has-next flag needs them): an O(chains)-row
     // aggregate with map-side partials, broadcast back onto the kept prefix.
     val cnts = chains.groupBy("chain").agg(count(lit(1)).as("cnt"))
-    val pages = chains
+    val pages = CacheScope.persistUntilConsumed(chains
       .withColumn("seq", row_number().over(w))
       // Prune BEFORE building bodies or persisting: the walk is bounded by
       // maxPages, so only each chain's first maxPages pages can ever be
@@ -75,8 +75,9 @@ object PageOps {
           array(concat(lit("v"), col("event_id"))).as("value"),
           when(col("seq") < col("cnt"),
             concat(lit("pg-"), col("chain"), lit("-"), col("seq") + 1))
-            .as("@odata.nextLink"))).as("body"))
-      .persist() // 10 hops share it; dropped by the caller's clearCache
+            .as("@odata.nextLink"))).as("body")))
+    // ^ 10 hops share the page table; CacheScope releases it (and every
+    //   level below) once the operator's result is consumed.
     // Broadcast the PAGE TABLE side, not the frontier: every hop then probes
     // the same broadcast exchange (ReuseExchange dedupes it to one build)
     // instead of rebuilding a fresh broadcast of the ever-changing frontier
@@ -88,17 +89,16 @@ object PageOps {
       .select(col("chain"), col("body"), lit(1).as("depth"))
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (_ <- 2 to maxPages) {
-      frontier = frontier
+      // Persist each level: the final union then executes ONE join per hop
+      // (level i reads level i-1's cache). Without this, level i re-executes
+      // its whole join prefix — O(maxPages²) join stages (measured 3× the
+      // wall time at maxPages=10). Iterative frontier algorithms on Spark
+      // (BFS, connected components) all need this cut.
+      frontier = CacheScope.persistUntilConsumed(frontier
         .select(col("chain"), (col("depth") + 1).as("depth"),
           get_json_object(col("body"), "$['@odata.nextLink']").as("nid"))
         .join(lookup, col("nid") === col("lk_pid"))
-        .select(col("chain"), col("lk_body").as("body"), col("depth"))
-        // Persist each level: the final union then executes ONE join per hop
-        // (level i reads level i-1's cache). Without this, level i re-executes
-        // its whole join prefix — O(maxPages²) join stages (measured 3× the
-        // wall time at maxPages=10). Iterative frontier algorithms on Spark
-        // (BFS, connected components) all need this cut.
-        .persist()
+        .select(col("chain"), col("lk_body").as("body"), col("depth")))
       levels += frontier
     }
     levels.reduce(_.unionByName(_))

@@ -70,10 +70,10 @@ object TextOps {
     * one.
     */
   private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), array_distinct(hashedShingles(spark, col("text"))).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .persist()
+    CacheScope.persistUntilConsumed(
+      withPlantedDups(spark, sfDir)
+        .select(col("doc_id"), array_distinct(hashedShingles(spark, col("text"))).as("sh"))
+        .withColumn("n", size(col("sh"))))
 
   /** Hashed 3-shingle set in one native codegen pass
     * ([[graft.functions.ShingleHashes]]): split, word-hash and rolling
@@ -170,9 +170,9 @@ object TextOps {
     // simhashWordHalves layout; the DuckDB oracle recomputes it from text.
     graft.functions.SimhashBits.register(spark)
     val fp = call_function("simhash_bits", col("text"))
-    val d = withPlantedDups(spark, sfDir)
-      .select(col("doc_id"), element_at(fp, 1).as("sh_lo"), element_at(fp, 2).as("sh_hi"))
-      .persist()
+    val d = CacheScope.persistUntilConsumed(
+      withPlantedDups(spark, sfDir)
+        .select(col("doc_id"), element_at(fp, 1).as("sh_lo"), element_at(fp, 2).as("sh_hi")))
     // 8 blocks of 8 bits: Hamming ≤ 7 GUARANTEES a shared block (pigeonhole)
     // — the block equi-join has 100% recall at this radius, exact popcount
     // is the verdict. (At larger corpora use wider blocks for key

@@ -67,11 +67,12 @@ object VectorOps {
       .withColumn("vec_id", col("vec_id") + 100000L)
     // Normalize ONCE per vector (persist barrier — otherwise CollapseProject
     // inlines the norm into every element lambda), so every candidate pair
-    // costs a single dot product.
-    val all = base.unionByName(planted)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType) / norm(col("embedding"))).as("nv"))
-      .persist()
+    // costs a single dot product. Scoped: released when the result of this
+    // operator is consumed (CacheScope), not by a caller-side clearCache.
+    val all = CacheScope.persistUntilConsumed(
+      base.unionByName(planted)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType) / norm(col("embedding"))).as("nv")))
     val sigs = all.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         lshSignature(col("nv"), nPlanes, dim, planeOffset = t * nPlanes)): _*)))
