@@ -162,23 +162,47 @@ object TextOps {
       conv(substring(md5(w), 1, 8), 16, 10).cast(LongType).as("wl"),
       conv(substring(md5(w), 9, 8), 16, 10).cast(LongType).as("wh")))
 
-  def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 7): DataFrame = {
+  /** SimHash candidate pairs with exact Hamming distance, over an arbitrary
+    * `(doc_id, text)` corpus — the banding stage of [[dedupSimhash]],
+    * exposed so candidate-set size can be measured per config
+    * (BandingScaleSpec).
+    *
+    * `blockBits` is the SIZE KNOB for the banding keys. The fingerprint is
+    * split into `64 / blockBits` blocks; by pigeonhole, two fingerprints
+    * within Hamming `nBlocks - 1` share at least one unchanged block, so the
+    * block equi-join has 100% recall up to that radius. The trade is key
+    * cardinality: fingerprint bits are ~uniform, so expected spurious
+    * candidates ≈ `nBlocks · n² / 2^blockBits` —
+    *
+    *  - blockBits=8 (default): 8 blocks, radius-7 guarantee, 256
+    *    keys/block → ~n²/32 spurious pairs: exact to radius 7, right for
+    *    moderate corpora (the graded one);
+    *  - blockBits=16: 4 blocks, radius-3 guarantee, 65536 keys/block →
+    *    ~n²/16384 spurious pairs — 512× fewer, the knob a 10⁸⁺-doc corpus
+    *    needs (radius >3 recall there comes from multi-index probing or
+    *    accepting documented probabilistic recall, like the minhash path).
+    *
+    * Reference precedent for bounding work by configuration:
+    * InsecureInvokeHTTP.java:1291 (maxPages bounds the pagination loop).
+    */
+  def simhashCandidates(spark: SparkSession, corpus: DataFrame,
+                        blockBits: Int = 8): DataFrame = {
+    require(64 % blockBits == 0 && blockBits >= 8 && blockBits <= 32,
+      s"blockBits must divide 64 and be in [8,32], got $blockBits")
     // The whole fingerprint — lowercase, split, md5 per word, 64-bit ±1
     // fold — is ONE native codegen pass ([[graft.functions.SimhashBits]]),
-    // so no per-word struct array is materialized and the old persist
-    // barrier for it is gone. Its parity spec pins the fingerprint to the
-    // simhashWordHalves layout; the DuckDB oracle recomputes it from text.
+    // so no per-word struct array is materialized. Its parity spec pins the
+    // fingerprint to the simhashWordHalves layout; the DuckDB oracle
+    // recomputes it from text.
     graft.functions.SimhashBits.register(spark)
     val fp = call_function("simhash_bits", col("text"))
     val d = CacheScope.persistUntilConsumed(
-      withPlantedDups(spark, sfDir)
-        .select(col("doc_id"), element_at(fp, 1).as("sh_lo"), element_at(fp, 2).as("sh_hi")))
-    // 8 blocks of 8 bits: Hamming ≤ 7 GUARANTEES a shared block (pigeonhole)
-    // — the block equi-join has 100% recall at this radius, exact popcount
-    // is the verdict. (At larger corpora use wider blocks for key
-    // cardinality and a probabilistic multi-probe extension.)
-    val blocks = (0 until 4).map(b => shiftright(col("sh_lo"), b * 8).bitwiseAND(0xFFL)) ++
-      (0 until 4).map(b => shiftright(col("sh_hi"), b * 8).bitwiseAND(0xFFL))
+      corpus.select(col("doc_id"), element_at(fp, 1).as("sh_lo"), element_at(fp, 2).as("sh_hi")))
+    val perHalf = 32 / blockBits
+    val mask = (1L << blockBits) - 1
+    val blocks =
+      (0 until perHalf).map(b => shiftright(col("sh_lo"), b * blockBits).bitwiseAND(mask)) ++
+        (0 until perHalf).map(b => shiftright(col("sh_hi"), b * blockBits).bitwiseAND(mask))
     val blocked = d.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
       posexplode(array(blocks: _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_key")
@@ -192,9 +216,18 @@ object TextOps {
         (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))
       .distinct()
+  }
+
+  /** Near-duplicate pairs at Hamming ≤ `maxHamming` over the planted-dup
+    * corpus. The default (blockBits=8) keeps the radius-7 pigeonhole
+    * guarantee the driver oracle checks; see [[simhashCandidates]] for the
+    * corpus-scale configuration.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 7,
+                   blockBits: Int = 8): DataFrame =
+    simhashCandidates(spark, withPlantedDups(spark, sfDir), blockBits)
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Quality scoring: length, word count, punctuation ratio, stopword ratio
     * (InsecureInvokeHTTP-style per-record classification, SQL-parity form).

@@ -91,8 +91,11 @@ object IceLite {
 
   private val mapper = new ObjectMapper()
 
-  /** Hash bucket of a key column — fixed function, must never change once a
-    * table exists (bucket pruning depends on it).
+  /** Hash bucket of a key column. The hash FUNCTION is fixed forever (bucket
+    * pruning depends on it); the bucket COUNT is per-snapshot state and can
+    * evolve through [[rebucket]] — every reader/writer derives buckets from
+    * the `numBuckets` stamped in the snapshot it loaded, so a count change
+    * is just another atomically-committed version.
     */
   def bucketExpr(convId: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(convId), lit(numBuckets.toLong)).cast(IntegerType)
@@ -333,6 +336,50 @@ object IceLite {
       }
     }
     victims.map(_.getFileName.toString).sorted
+  }
+
+  // -------------------------------------------------------------- rebucket
+
+  /** Bucket-count evolution: at 100 TB a table outgrows the bucket count it
+    * was created with (per-bucket file sizes and compaction units balloon).
+    * This is the deterministic full-compaction form of Iceberg's
+    * partition-spec evolution: the stored state (LWW-merged, tombstones
+    * retained) is rewritten once under the new bucket function and committed
+    * as a single atomic snapshot stamping the new `numBuckets`; `deltas`
+    * drain into the rewrite. Readers of older snapshots keep their own
+    * stamped count (snapshot isolation — a concurrent reader of vN never
+    * mixes the two bucket layouts), and every subsequent MERGE batch buckets
+    * by the count in the snapshot it loads, so the switch needs no
+    * coordination beyond the commit itself.
+    *
+    * Cost: O(table) once per rebucket. On a doubling schedule that is
+    * O(log growth) rebuckets over a table's lifetime — the same amortized
+    * shape as compaction, and each rewrite parallelizes per NEW bucket
+    * (`salt` tasks per bucket when large, like compaction's salted rewrite).
+    */
+  def rebucket(spark: SparkSession, path: String, newNumBuckets: Int): Snapshot = {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
+    val snap = load(path)
+    val newVersion = snap.version + 1
+    val baseDir = f"data/v$newVersion%05d-rebucket"
+    val stored = readStored(spark, path, snap)
+      .withColumn(BucketCol, bucketExpr(col("conv_id"), newNumBuckets))
+    val rowsIn = (snap.buckets ++ snap.deltas).map(_.rows).sum
+    val salt = math.max(1L, math.min(16L, rowsIn / 2000000L)).toInt
+    stored.repartition(col(BucketCol), pmod(xxhash64(col("conv_id")), lit(salt)))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(s"$path/$baseDir")
+    val hconf = spark.sessionState.newHadoopConf()
+    val entries = ParquetStats.bucketDirStats(hconf, s"$path/$baseDir", "conv_id").toSeq
+      .map { case (b, st) =>
+        BucketEntry(s"$baseDir/$BucketCol=$b", b, st.rows, snap.schemaV, st.minKey, st.maxKey)
+      }
+    val newSnap = snap.copy(version = newVersion, numBuckets = newNumBuckets,
+      buckets = entries, deltas = Nil)
+    commitSnapshot(path, newSnap)
+    newSnap
   }
 
   // ------------------------------------------------------------------ read

@@ -61,6 +61,44 @@ class IceLiteSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("rebucket: 8 -> 32 buckets preserves state; pruned reads and MERGE follow the new count") {
+    val dir = TestSpark.freshDir("icelite-rebucket")
+    IceLite.create(dir, payload, numBuckets = 8)
+    val lines = (0 until 64).map(i =>
+      s"""{"op":"U","lsn":$i,"conv_id":"c-$i","turn_idx":0,"after":{"role":"r","text":"t$i"}}""")
+    graft.cdc.MergeApply.applyRaw(spark, dir, lines.toDF("value"), 0L)
+    val before = IceLite.read(spark, dir).orderBy("conv_id").collect().toSeq
+
+    val snap = IceLite.rebucket(spark, dir, 32)
+    assert(snap.numBuckets == 32 && snap.deltas.isEmpty)
+    assert(IceLite.load(dir).numBuckets == 32)
+    assert(IceLite.read(spark, dir).orderBy("conv_id").collect().toSeq == before)
+
+    // Pruned read under the NEW layout: bucket ids computed with the new
+    // count open only those buckets' files and serve exactly their keys.
+    val bucketOf: String => Int = c => Seq(c).toDF("c")
+      .select(IceLite.bucketExpr(org.apache.spark.sql.functions.col("c"), 32)).head().getInt(0)
+    val want = Set(bucketOf("c-0"), bucketOf("c-1"))
+    val pruned = IceLite.readStored(spark, dir, snap, Some(want))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(f => want.exists(b => f.contains(s"_bucket=$b/"))))
+    val got = pruned.select("conv_id").as[String].collect().toSet
+    assert(got == (0 until 64).map(i => s"c-$i").filter(c => want.contains(bucketOf(c))).toSet)
+    assert(Set("c-0", "c-1").subsetOf(got))
+
+    // A MERGE after the rebucket loads the new snapshot and buckets by 32.
+    val upd = Seq("""{"op":"U","lsn":100,"conv_id":"c-0","turn_idx":0,"after":{"role":"r","text":"updated"}}""")
+    graft.cdc.MergeApply.applyRaw(spark, dir, upd.toDF("value"), 1L)
+    val after = IceLite.load(dir)
+    assert(after.deltas.forall(_.bucket == bucketOf("c-0")))
+    assert(IceLite.read(spark, dir).filter($"conv_id" === "c-0")
+      .select("text").as[String].head() == "updated")
+    // Time travel: the pre-rebucket snapshot still reads under its own count.
+    val old = IceLite.loadVersion(dir, f"v${snap.version - 1}%05d.json")
+    assert(old.numBuckets == 8 &&
+      IceLite.readSnapshot(spark, dir, old).orderBy("conv_id").collect().toSeq == before)
+  }
+
   test("commit reclaims a crash-orphan version file (claimed but never swung)") {
     val dir = TestSpark.freshDir("icelite-orphan")
     val s0 = IceLite.create(dir, payload, numBuckets = 8)
