@@ -211,6 +211,7 @@ object SparkEntry {
     // ---- training-data ops: dedup / text analysis ----
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
+    "dedup_incremental" -> ((s, d) => CdcQueries.incrementalDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -414,6 +415,19 @@ object SparkEntry {
       s"""WITH $corpusShingleSql
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Survivors of the incremental (batch-staged) dedup = docs with no
+    // ≥0.5-Jaccard partner of smaller id anywhere in the corpus (the rule is
+    // batch-split-invariant); batch = which doc_id range the doc arrived in.
+    "dedup_incremental" ->
+      s"""WITH $corpusShingleSql,
+         |h AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS half FROM documents)
+         |SELECT CAST(CASE WHEN c.doc_id < (SELECT half FROM h) THEN 0
+         |                 WHEN c.doc_id < 100000 THEN 1 ELSE 2 END AS BIGINT) AS batch,
+         |       c.doc_id
+         |FROM corpus c
+         |WHERE NOT EXISTS (SELECT 1 FROM jac
+         |                  WHERE jac.doc_b = c.doc_id AND jac.jaccard >= 0.5)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -159,6 +159,32 @@ object CdcQueries {
           <= col("durationMs")).cast("int")).cast("boolean").as("timings_consistent"))
   }
 
+  /** Cross-batch incremental dedup as a driver query: the planted-dup
+    * corpus staged in THREE doc_id-ordered batches (first half of the base
+    * docs, second half, then the planted near-copies) through
+    * [[IncrementalDedup]] — each batch dedups against the signature state
+    * the previous batches stored in icelite, so the planted copies in batch
+    * 2 are dropped against STATE, not a corpus-wide join. The surviving set
+    * is a pure function of the corpus (batch-split-invariant, see
+    * IncrementalDedup), so the DuckDB oracle recomputes it with the same
+    * brute-force Jaccard rule the other dedup oracles use.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("incdedup", sfDir)
+    val cfg = IncrementalDedup.Config(base)
+    val corpus = TextOps.withPlantedDups(spark, sfDir).select("doc_id", "text")
+    val half = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(floor(max(col("doc_id")) / 2)).head.getLong(0)
+    val batches = Seq(
+      corpus.filter(col("doc_id") < half),
+      corpus.filter(col("doc_id") >= half && col("doc_id") < 100000L),
+      corpus.filter(col("doc_id") >= 100000L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalDedup.applyBatch(spark, b, i.toLong, cfg)
+    }
+    IncrementalDedup.survivors(spark, cfg).orderBy("doc_id")
+  }
+
   /** The LWW dedup operator alone (SURVEY §2.5 J2): latest event per key —
     * window `row_number over (partition by key order by lsn desc)`.
     */

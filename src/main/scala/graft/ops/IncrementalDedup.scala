@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.cdc.MergeApply
+import graft.table.IceLite
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-batch near-duplicate dedup against STORED signature state — the
+  * CDC-pipeline-native form of MinHash dedup a 100 TB ingest actually runs:
+  * instead of re-deduping the whole corpus per run, each arriving batch is
+  * deduped against a persistent signature store via the same banding
+  * equi-join [[TextOps.dedupMinhashLsh]] uses corpus-wide, then appends its
+  * own signatures for future batches. State lives in TWO icelite tables
+  * (so the appends inherit idempotent epoch commits, schema handling and
+  * merge-on-read exactly like the conversation table):
+  *
+  *  - `sigindex` — one row per (doc, band): key conv_id = "b<band>|<key>"
+  *    (the banding join key — the table is hash-BUCKETED by it, so a
+  *    batch-vs-state probe reads only the buckets the batch's band keys
+  *    hash to), turn_idx = doc id, payload doc_id;
+  *  - `docsigs` — one row per doc: key conv_id = doc id, payload the
+  *    distinct hashed shingle set (for the exact-Jaccard verify of
+  *    candidates, bucket-pruned by the candidate ids).
+  *
+  * Dedup rule: a document is DROPPED iff it has a verified near-duplicate
+  * partner (exact shingle Jaccard ≥ `threshold` among LSH candidates) with
+  * a SMALLER doc_id in the state or its own batch, and EVERY batch
+  * document's signatures are appended — survivors and dropped alike. With
+  * batches arriving in doc_id (LSN) order, every smaller id is visible at
+  * decision time, so the surviving set is a pure function of the corpus —
+  * independent of how the feed was split into batches
+  * (IncrementalDedupPropertySpec proves this per random split; the driver's
+  * DuckDB oracle recomputes it corpus-wide).
+  *
+  * Exactly-once: an already-committed batchId no-ops (the sigindex epoch
+  * log is the guard), and the survivor output is written to a
+  * deterministic per-batch directory with overwrite — a crash-retry
+  * rewrites identical bytes instead of duplicating rows.
+  *
+  * Scale shape per batch: candidate generation is ONE equi-join of the
+  * batch's band rows against the bucket-pruned state slice (never a scan of
+  * all stored docs), the verify joins are keyed on doc id against the
+  * bucket-pruned docsigs slice, and the state appends are O(batch) delta
+  * writes. turn_idx carries the doc id and is int32 — one state shard
+  * covers 2^31 docs; beyond that, shard the state dir by doc_id >> 31 (the
+  * standard composite-key split for a fixed-width key column).
+  */
+object IncrementalDedup {
+
+  case class Config(stateDir: String, numHashes: Int = 16, threshold: Double = 0.5,
+                    numBuckets: Int = 32)
+
+  private def sigIndexPath(cfg: Config) = s"${cfg.stateDir}/sigindex"
+  private def docSigsPath(cfg: Config) = s"${cfg.stateDir}/docsigs"
+  private def survivorsPath(cfg: Config) = s"${cfg.stateDir}/survivors"
+
+  /** Dedup one `(doc_id, text)` batch against the stored state, write its
+    * survivors to `survivors/batch=<id>/`, append its signatures. Batches
+    * must arrive in ascending doc_id ranges (the LSN-ordered feed contract).
+    * Returns the number of surviving documents (−1 for a replayed epoch).
+    */
+  def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long, cfg: Config): Long = {
+    val sigIndex = sigIndexPath(cfg)
+    val docSigs = docSigsPath(cfg)
+    if (!IceLite.exists(sigIndex)) IceLite.create(sigIndex, new StructType(), cfg.numBuckets)
+    if (!IceLite.exists(docSigs)) IceLite.create(docSigs, new StructType(), cfg.numBuckets)
+    val idxSnap = IceLite.load(sigIndex)
+    if (idxSnap.hasBatch(batchId)) return -1L // exactly-once: epoch replayed
+
+    val sh = TextOps.shingleSetsOf(spark, batch.select("doc_id", "text")).persist()
+    try {
+      val sigs = sh.select(col("doc_id"),
+        TextOps.minhashSignature(spark, col("sh"), cfg.numHashes).as("sig"))
+      val bands = sigs.select(col("doc_id"), posexplode(col("sig")))
+        .select(concat(lit("b"), col("pos"), lit("|"), col("col")).as("bk"), col("doc_id"))
+        .persist()
+      try {
+        // ---- state band rows, bucket-pruned by the batch's band keys:
+        // the collect is O(numBuckets) ints, never O(keys).
+        val stateBands =
+          if (idxSnap.buckets.isEmpty && idxSnap.deltas.isEmpty) None
+          else {
+            val buckets = bands
+              .select(IceLite.bucketExpr(col("bk"), idxSnap.numBuckets).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            Some(IceLite.readStored(spark, sigIndex, idxSnap, Some(buckets))
+              .filter(!col(IceLite.DeletedCol))
+              .select(col("conv_id").as("bk"), col("doc_id")))
+          }
+        // ---- candidates: every (smaller id, batch id) pair sharing a band
+        // key — state rows and the batch itself on the left, batch on the
+        // right; one keyed equi-join, never all-pairs.
+        val left = stateBands.map(_.unionByName(bands)).getOrElse(bands)
+        val cands = left.select(col("bk"), col("doc_id").as("doc_a"))
+          .join(bands.select(col("bk"), col("doc_id").as("doc_b")), "bk")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // ---- exact-Jaccard verify; the stored side's shingle sets come
+        // from docsigs, bucket-pruned by the candidate ids.
+        val docSnap = IceLite.load(docSigs)
+        val stateSh =
+          if (docSnap.buckets.isEmpty && docSnap.deltas.isEmpty) None
+          else {
+            val aBuckets = cands
+              .select(IceLite.bucketExpr(col("doc_a").cast(StringType), docSnap.numBuckets).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            Some(IceLite.readStored(spark, docSigs, docSnap, Some(aBuckets))
+              .filter(!col(IceLite.DeletedCol))
+              .select(col("doc_id"), col("sh")))
+          }
+        val aSh = stateSh.map(_.unionByName(sh.select("doc_id", "sh"))).getOrElse(sh)
+        val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+        val dropped = cands
+          .join(aSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .filter(inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)
+            >= cfg.threshold)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val survivors = batch.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+        // Deterministic per-batch output dir + overwrite = idempotent under
+        // crash-retry (re-derived from the same pinned snapshots).
+        survivors.write.mode(SaveMode.Overwrite)
+          .parquet(s"${survivorsPath(cfg)}/batch=$batchId")
+        // ---- append ALL batch signatures through the real MERGE path
+        // (delta append + epoch commit; the epoch guard above makes the
+        // whole applyBatch idempotent).
+        val bandLines = bands.select(to_json(struct(
+          lit("U").as("op"), col("doc_id").as("lsn"),
+          col("bk").as("conv_id"), col("doc_id").cast(IntegerType).as("turn_idx"),
+          struct(col("doc_id")).as("after"))).as("value"))
+        MergeApply.applyRaw(spark, sigIndex, bandLines, batchId)
+        val docLines = sh.select(to_json(struct(
+          lit("U").as("op"), col("doc_id").as("lsn"),
+          col("doc_id").cast(StringType).as("conv_id"), lit(0).as("turn_idx"),
+          struct(col("doc_id"), col("sh")).as("after"))).as("value"))
+        MergeApply.applyRaw(spark, docSigs, docLines, batchId)
+        spark.read.parquet(s"${survivorsPath(cfg)}/batch=$batchId").count()
+      } finally bands.unpersist()
+    } finally sh.unpersist()
+  }
+
+  /** All surviving documents so far: `(batch, doc_id)` with `batch` the
+    * discovered partition of the per-batch survivor dirs.
+    */
+  def survivors(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(survivorsPath(cfg))
+      .select(col("batch").cast(LongType).as("batch"), col("doc_id"))
+}

@@ -70,10 +70,16 @@ object TextOps {
     * one.
     */
   private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    CacheScope.persistUntilConsumed(
-      withPlantedDups(spark, sfDir)
-        .select(col("doc_id"), array_distinct(hashedShingles(spark, col("text"))).as("sh"))
-        .withColumn("n", size(col("sh"))))
+    CacheScope.persistUntilConsumed(shingleSetsOf(spark, withPlantedDups(spark, sfDir)))
+
+  /** Distinct hashed 3-shingle sets + set size of an arbitrary
+    * `(doc_id, text)` corpus — the shared front of the batch and
+    * incremental dedup pipelines (uncached; callers own the barrier).
+    */
+  def shingleSetsOf(spark: SparkSession, corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), array_distinct(hashedShingles(spark, col("text"))).as("sh"))
+      .withColumn("n", size(col("sh")))
 
   /** Hashed 3-shingle set in one native codegen pass
     * ([[graft.functions.ShingleHashes]]): split, word-hash and rolling
