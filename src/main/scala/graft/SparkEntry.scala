@@ -463,40 +463,47 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
          |  FROM scored)
          |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin,
-    // Image rows: the oracle reproduces the decoded features from the
-    // generator's pixel FORMULA (pixel = (7x+13y+doc_id) mod 256), never
-    // from PNG bytes (encoder-dependent); audio/video rows: byte-level
-    // features over the opaque payload.
-    // Image (real PNG decode): features from the generator's pixel formula.
-    // Audio (real WAV decode): 8 kHz mono 8-bit PCM, sample(i) =
-    // (11·doc_id + 5i) mod 256, n = doc_id%160+16; fingerprint = md5 of the
-    // PCM hex string. Video (declared stub): byte features over the text
-    // payload. Container byte streams are encoder-dependent and never
-    // asserted on — only decoded values are.
+    // Every modality round-trips a REAL JDK codec; the oracle reproduces the
+    // DECODED features from the generator formulas, never container bytes
+    // (encoder-dependent). Image (PNG): pixel = (7x+13y+doc_id) mod 256.
+    // Audio (WAV): 8 kHz mono 8-bit PCM, sample(i) = (11·doc_id+5i) mod 256,
+    // n = doc_id%160+16; fingerprint = md5 of the PCM hex. Video (GVID
+    // container of PNG frames): frame f pixel = (7x+13y+doc_id+31f) mod 256,
+    // nFrames = doc_id%12+2, every 4th frame decoded; fingerprint = md5 of
+    // the sampled frames' pixel hex in (frame, row, col) order.
     "multimodal_features" ->
       """SELECT doc_id,
         |       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 1 AS INTEGER) END AS width,
-        |       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 12 + 1 AS INTEGER) END AS height,
+        |       CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 16 + 1 AS INTEGER) END AS width,
+        |       CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 12 + 1 AS INTEGER) END AS height,
         |       CASE WHEN doc_id % 3 = 0 THEN round(list_avg(flatten(
         |            list_transform(range(0, doc_id % 12 + 1), y ->
         |              list_transform(range(0, doc_id % 16 + 1), x ->
-        |                (7*x + 13*y + doc_id) % 256)))), 4) END AS mean_pixel,
+        |                (7*x + 13*y + doc_id) % 256)))), 4)
+        |            WHEN doc_id % 3 = 2 THEN round(list_avg(flatten(list_transform(
+        |              range(0, doc_id % 12 + 2, 4), f -> flatten(
+        |                list_transform(range(0, doc_id % 12 + 1), y ->
+        |                  list_transform(range(0, doc_id % 16 + 1), x ->
+        |                    (7*x + 13*y + doc_id + 31*f) % 256)))))), 4) END AS mean_pixel,
         |       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
         |       CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 160 + 16 AS INTEGER) END AS n_samples,
         |       CASE WHEN doc_id % 3 = 1 THEN round(list_avg(
         |            list_transform(range(0, CAST(doc_id % 160 + 16 AS INTEGER)),
         |              i -> (11*doc_id + 5*i) % 256)), 4) END AS mean_sample,
-        |       CASE WHEN doc_id % 3 = 2 THEN CAST(length(text) AS INTEGER) END AS n_bytes,
-        |       CASE WHEN doc_id % 3 = 2 THEN round(CASE WHEN length(text) = 0 THEN 0.0
-        |            ELSE list_avg(list_transform(range(1, length(text) + 1),
-        |                 i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) END, 4) END AS mean_byte,
-        |       CASE WHEN doc_id % 3 = 2 THEN CAST(((length(text) // 16) + 3) // 4 AS INTEGER) END AS frames_sampled,
+        |       CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 12 + 2 AS INTEGER) END AS n_frames,
+        |       CASE WHEN doc_id % 3 = 2 THEN CAST((doc_id % 12 + 5) // 4 AS INTEGER) END AS frames_sampled,
         |       CASE WHEN doc_id % 3 = 1 THEN md5(list_reduce(
         |              list_transform(range(0, CAST(doc_id % 160 + 16 AS INTEGER)),
         |                i -> format('{:02x}', (11*doc_id + 5*i) % 256)),
         |              (a, x) -> a || x))
-        |            WHEN doc_id % 3 = 2 THEN md5(text) END AS fingerprint
+        |            WHEN doc_id % 3 = 2 THEN md5(list_reduce(
+        |              list_transform(flatten(list_transform(
+        |                range(0, doc_id % 12 + 2, 4), f -> flatten(
+        |                  list_transform(range(0, doc_id % 12 + 1), y ->
+        |                    list_transform(range(0, doc_id % 16 + 1), x ->
+        |                      (7*x + 13*y + doc_id + 31*f) % 256))))),
+        |                p -> format('{:02x}', p)),
+        |              (a, x) -> a || x)) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "cdc_upsert_lww" ->
       """WITH feed AS (

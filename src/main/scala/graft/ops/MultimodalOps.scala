@@ -23,12 +23,15 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * computable by the driver's DuckDB oracle (the container byte streams are
   * encoder-dependent and never asserted on).
   *
-  * Video rows keep the declared byte-level stub — the JDK has no video
-  * codec (and this container has no media libraries): deterministic
-  * features over the opaque payload bytes — length, mean byte,
-  * frame-sampling arithmetic, content fingerprint — each oracle-checkable.
-  * The Spark-side contract (binary column, typed features struct,
-  * partition-wise batching) is identical for all three modalities.
+  * Video rows carry a frame-packed container ("GVID": magic + frame count +
+  * length-prefixed REAL PNG frames) — the JDK has no video codec, so the
+  * container format is ours, but every frame goes through the REAL
+  * `javax.imageio` codec: the decode walks the container, samples every 4th
+  * frame, decodes it, and derives dimensions, mean pixel and a fingerprint
+  * from DECODED pixel values (per-frame pixel formula = the oracle
+  * contract, container bytes never asserted). The Spark-side contract
+  * (binary column, typed features struct, partition-wise batching) is
+  * identical for all three modalities.
   */
 object MultimodalOps {
 
@@ -43,14 +46,15 @@ object MultimodalOps {
                            mean_pixel: Option[Double],
                            sample_rate: Option[Int], n_samples: Option[Int],
                            mean_sample: Option[Double],
-                           n_bytes: Option[Int], mean_byte: Option[Double],
-                           frames_sampled: Option[Int], fingerprint: Option[String])
+                           n_frames: Option[Int], frames_sampled: Option[Int],
+                           fingerprint: Option[String])
 
-  /** Deterministic gray PNG: pixel(x, y) = (7x + 13y + doc_id) mod 256,
-    * width = doc_id%16+1, height = doc_id%12+1. The formula (not the bytes)
-    * is the oracle contract.
+  /** Deterministic gray PNG (frame `frame` of a clip; stills are frame 0):
+    * pixel(x, y) = (7x + 13y + doc_id + 31·frame) mod 256,
+    * width = doc_id%16+1, height = doc_id%12+1. The formula (not the
+    * encoder's bytes) is the oracle contract.
     */
-  def encodePng(docId: Long): Array[Byte] = {
+  def encodePng(docId: Long, frame: Int = 0): Array[Byte] = {
     val w = (docId % 16 + 1).toInt
     val h = (docId % 12 + 1).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -59,13 +63,35 @@ object MultimodalOps {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((7L * x + 13L * y + docId) % 256).toInt)
+        raster.setSample(x, y, 0, ((7L * x + 13L * y + docId + 31L * frame) % 256).toInt)
         x += 1
       }
       y += 1
     }
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Frame-packed video container: "GVID" magic, int32 frame count, then
+    * per frame an int32 length + REAL PNG bytes (each frame is
+    * [[encodePng]] of (doc_id, frame)); nFrames = doc_id%12+2. The
+    * per-frame pixel formula — not the container or PNG byte streams — is
+    * the oracle contract.
+    */
+  def encodeVideo(docId: Long): Array[Byte] = {
+    val n = (docId % 12 + 2).toInt
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    out.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val png = encodePng(docId, f)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
     bos.toByteArray
   }
 
@@ -119,18 +145,48 @@ object MultimodalOps {
     (rate, pcm.length, if (pcm.isEmpty) 0.0 else sum.toDouble / pcm.length, fp)
   }
 
-  /** Byte-level features for the modality without a JDK codec (video):
-    * length, mean byte, one frame per 16-byte block with every 4th kept,
-    * md5 content fingerprint.
+  /** Real per-frame decode: walk the GVID container, decode every 4th
+    * frame through `javax.imageio`, and fold the DECODED pixels (frame,
+    * row, column order) into dimensions, mean and an md5-of-pixel-hex
+    * fingerprint → (width, height, n_frames, frames_sampled, mean_pixel,
+    * fingerprint).
     */
-  private def byteFeatures(bytes: Array[Byte]): (Int, Double, Int, String) = {
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
-    val md = mdLocal.get().digest(bytes)
-    val fp = md.map(b => f"${b & 0xFF}%02x").mkString
-    val frames = (bytes.length / 16 + 3) / 4
-    (bytes.length, if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, frames, fp)
+  private def decodeVideo(payload: Array[Byte]): (Int, Int, Int, Int, Double, String) = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+    val n = in.readInt()
+    val hex = new java.lang.StringBuilder()
+    var w = 0; var h = 0
+    var sum = 0L; var count = 0L; var sampled = 0
+    var f = 0
+    while (f < n) {
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      if (f % 4 == 0) { // frame sampling: every 4th frame is decoded
+        val img = ImageIO.read(new ByteArrayInputStream(frame))
+        w = img.getWidth; h = img.getHeight
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = r.getSample(x, y, 0)
+            sum += p; count += 1
+            hex.append(f"$p%02x")
+            x += 1
+          }
+          y += 1
+        }
+        sampled += 1
+      }
+      f += 1
+    }
+    val fp = mdLocal.get().digest(hex.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    (w, h, n, sampled, if (count == 0) 0.0 else sum.toDouble / count, fp)
   }
 
   private def round4(d: Double): Double =
@@ -140,21 +196,21 @@ object MultimodalOps {
     case "image" =>
       val (w, h, mean) = decodeImage(r.payload)
       MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), Some(round4(mean)),
-        None, None, None, None, None, None, None)
+        None, None, None, None, None, None)
     case "audio" =>
       val (rate, n, mean, fp) = decodeAudio(r.payload)
       MediaFeatures(r.doc_id, r.media_type, None, None, None,
-        Some(rate), Some(n), Some(round4(mean)), None, None, None, Some(fp))
+        Some(rate), Some(n), Some(round4(mean)), None, None, Some(fp))
     case _ =>
-      val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-      val (n, mean, frames, fp) = byteFeatures(bytes)
-      MediaFeatures(r.doc_id, r.media_type, None, None, None, None, None, None,
-        Some(n), Some(round4(mean)), Some(frames), Some(fp))
+      val (w, h, n, sampled, mean, fp) = decodeVideo(r.payload)
+      MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), Some(round4(mean)),
+        None, None, None, Some(n), Some(sampled), Some(fp))
   }
 
   /** Build a media table from documents — image rows get real encoded PNGs,
-    * audio rows real encoded WAVs, video rows use text bytes as the opaque
-    * payload — then run the batch decode over partitions. The decode is
+    * audio rows real encoded WAVs, video rows frame-packed containers of
+    * real PNG frames — then run the batch decode over partitions. Every
+    * modality round-trips through a REAL JDK codec. The decode is
     * embarrassingly parallel; the narrow `mapPartitions` keeps the batch
     * shape a cluster needs (no per-row task, no driver round-trips).
     */
@@ -164,13 +220,13 @@ object MultimodalOps {
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
+        lit(Array.empty[Byte]).as("payload"))
       .as[MediaRow]
       .mapPartitions(_.map { r =>
         r.media_type match {
           case "image" => r.copy(payload = encodePng(r.doc_id))
           case "audio" => r.copy(payload = encodeWav(r.doc_id))
-          case _ => r
+          case _ => r.copy(payload = encodeVideo(r.doc_id))
         }
       })
     media.mapPartitions(_.map(decode)).toDF()
