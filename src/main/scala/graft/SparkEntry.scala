@@ -29,6 +29,7 @@ object SparkEntry {
     "cdc_route_counts" -> ((s, d) => CdcQueries.routeCounts(s, d)),
     "cdc_dead_letter" -> ((s, d) => CdcQueries.deadLetterSummary(s, d)),
     "cdc_replay_audit" -> ((s, d) => CdcQueries.replayAudit(s, d)),
+    "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
 
     // ---- aggregations (§2.4 A1-A6) ----
@@ -560,6 +561,27 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
         |  FROM feed)
         |SELECT conv_id, turn_idx, role, text, score, model
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Hot-key skew replay (St7): every tenth user collapses onto one
+    // conversation (wide event_id%500 turn domain); converged table state
+    // must equal the LWW window over the same remapped feed.
+    "cdc_skew_hotkey" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         CASE WHEN user_id % 10 = 0 THEN 'conv-hot'
+        |              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') END AS conv_id,
+        |         CASE WHEN user_id % 10 = 0 THEN CAST(event_id % 500 AS INTEGER)
+        |              ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 END AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed)
+        |SELECT conv_id, turn_idx, role, text, "value"
         |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY conv_id, turn_idx""".stripMargin,
     "cdc_lww_window" ->

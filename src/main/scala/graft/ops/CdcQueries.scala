@@ -159,6 +159,44 @@ object CdcQueries {
           <= col("durationMs")).cast("int")).cast("boolean").as("timings_consistent"))
   }
 
+  /** St7 hot-key skew as a driver query: the events feed remapped so every
+    * tenth user's events collapse onto ONE conversation ("conv-hot" — ~10%
+    * of the feed, hundreds of times any other key's volume, all hashing to
+    * one bucket), replayed through the real pipeline. The converged state
+    * must still match the LWW window oracle exactly: the skew is absorbed
+    * by map-side partial aggregation in the in-batch LWW reduce (a hot key
+    * collapses before the shuffle) and the per-bucket delta write — no
+    * special-casing, no lost updates. Hot rows get a WIDE turn_idx domain
+    * (event_id % 500) so the hot conversation holds many live keys, not a
+    * degenerate 10. Perf-side skew evidence (no stragglers at sf1, 3.9×
+    * hot-bucket ratio) lives in BENCH.md; this row is the CORRECTNESS gate.
+    */
+  def skewedUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("skew", sfDir)
+    val hot = col("user_id") % 10 === 0
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("event_id").as("lsn"),
+      when(hot, "conv-hot")
+        .otherwise(concat(lit("conv-"), lpad(col("user_id").cast("string"), 4, "0"))).as("conv_id"),
+      when(hot, col("event_id") % 500)
+        .otherwise(get_json_object(col("props"), "$.k").cast("int") % 10)
+        .cast("int").as("turn_idx"),
+      col("event_type").as("role"),
+      concat(col("event_type"), lit("#"), col("event_id").cast("string")).as("text"),
+      col("value"))
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    FeedGen.writeFeed(lines, s"$base/feed", files = 8)
+    Pipeline.replay(spark, Pipeline.Config(
+      s"$base/feed", s"$base/table", s"$base/ckpt", numBuckets = 16))
+    IceLite.read(spark, s"$base/table")
+      .select("conv_id", "turn_idx", "role", "text", "value")
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** Cross-batch incremental dedup as a driver query: the planted-dup
     * corpus staged in THREE doc_id-ordered batches (first half of the base
     * docs, second half, then the planted near-copies) through
