@@ -77,17 +77,15 @@ object IncrementalDedup {
         .persist()
       try {
         // ---- state band rows, bucket-pruned by the batch's band keys:
-        // the collect is O(numBuckets) ints, never O(keys).
-        val stateBands =
-          if (idxSnap.buckets.isEmpty && idxSnap.deltas.isEmpty) None
-          else {
-            val buckets = bands
-              .select(IceLite.bucketExpr(col("bk"), idxSnap.numBuckets).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSet
-            Some(IceLite.readStored(spark, sigIndex, idxSnap, Some(buckets))
-              .filter(!col(IceLite.DeletedCol))
-              .select(col("conv_id").as("bk"), col("doc_id")))
-          }
+        // the collect is O(numBuckets) ints, never O(keys). Signature rows
+        // are append-once immutable facts (a doc's sigs are written exactly
+        // once, in its own batch), so the state slice is read RAW
+        // (committed base+delta entries are key-disjoint until compaction
+        // folds them) — no per-batch LWW merge-on-read shuffle of the
+        // state slice, just scan + hash join.
+        val stateBands = readStateSlice(spark, sigIndex, idxSnap,
+          bands.select(IceLite.bucketExpr(col("bk"), idxSnap.numBuckets).as("b")))
+          .map(_.select(col("conv_id").as("bk"), col("doc_id")))
         // ---- candidates: every (smaller id, batch id) pair sharing a band
         // key — state rows and the batch itself on the left, batch on the
         // right; one keyed equi-join, never all-pairs.
@@ -99,16 +97,9 @@ object IncrementalDedup {
         // ---- exact-Jaccard verify; the stored side's shingle sets come
         // from docsigs, bucket-pruned by the candidate ids.
         val docSnap = IceLite.load(docSigs)
-        val stateSh =
-          if (docSnap.buckets.isEmpty && docSnap.deltas.isEmpty) None
-          else {
-            val aBuckets = cands
-              .select(IceLite.bucketExpr(col("doc_a").cast(StringType), docSnap.numBuckets).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSet
-            Some(IceLite.readStored(spark, docSigs, docSnap, Some(aBuckets))
-              .filter(!col(IceLite.DeletedCol))
-              .select(col("doc_id"), col("sh")))
-          }
+        val stateSh = readStateSlice(spark, docSigs, docSnap,
+          cands.select(IceLite.bucketExpr(col("doc_a").cast(StringType), docSnap.numBuckets).as("b")))
+          .map(_.select(col("doc_id"), col("sh")))
         val aSh = stateSh.map(_.unionByName(sh.select("doc_id", "sh"))).getOrElse(sh)
         val inter = size(array_intersect(col("sh_a"), col("sh_b")))
         val dropped = cands
@@ -138,6 +129,21 @@ object IncrementalDedup {
         spark.read.parquet(s"${survivorsPath(cfg)}/batch=$batchId").count()
       } finally bands.unpersist()
     } finally sh.unpersist()
+  }
+
+  /** Raw committed rows of the state buckets a probe frame's bucket ids
+    * touch (None when the table is empty). The bucket-id collect is
+    * O(numBuckets); the read opens only those buckets' files.
+    */
+  private def readStateSlice(spark: SparkSession, path: String,
+                             snap: IceLite.Snapshot,
+                             bucketIds: DataFrame): Option[DataFrame] = {
+    val entries = snap.buckets ++ snap.deltas
+    if (entries.isEmpty) None
+    else {
+      val touched = bucketIds.distinct().collect().map(_.getInt(0)).toSet
+      IceLite.readEntries(spark, path, snap, entries.filter(e => touched.contains(e.bucket)))
+    }
   }
 
   /** All surviving documents so far: `(batch, doc_id)` with `batch` the
