@@ -181,13 +181,117 @@ object MergeApply {
           payloadNames.map(n => col("_p").getField(n).cast(mergedPayload(n).dataType).as(n)) ++
           Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol)): _*)
 
-      // Compaction decision from snapshot state + the scan's per-bucket
-      // pre-reduce counts (an upper bound on delta rows: duplicate
-      // deliveries and multi-updates collapse in the reduce — the bias only
-      // compacts slightly earlier). No dedicated stats job; per-bucket
-      // EXACT rows and key bounds come from the parquet footers after the
-      // write, the way a lakehouse builds manifests.
-      val estRows: Map[Int, Long] = scan.buckets
+      reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
+        scan.buckets, events, malformed, minLsn, maxLsn, schemaDiff.toString,
+        batchId, policy, lineageDir, t0, tScan, tDead)
+    } finally {
+      payloadCache.foreach(_.unpersist())
+      parsed.unpersist()
+    }
+  }
+
+  /** Apply one micro-batch of ALREADY-TYPED change rows — the record-
+    * oriented twin of [[applyRaw]] for feeds that arrive columnar (parquet/
+    * Avro binlog taps, or internal state appends like
+    * [[graft.ops.IncrementalDedup]]): no JSON round-trip, no per-document
+    * schema inference — the batch's schema IS its payload schema, and
+    * schema evolution runs through the same [[SchemaMerge]] lattice as the
+    * raw path (ADD COLUMN / widening against the stored schema).
+    *
+    * Contract: `changes` has columns `op` (I/U/D), `lsn` (long),
+    * `conv_id` (string, non-null), `turn_idx` (int), plus payload columns.
+    * Rows are assumed validated (typed sources have no malformed-line
+    * class; dead-lettering belongs to the raw path). Batch metrics come
+    * from ONE small aggregation job (per-bucket counts + LSN range) —
+    * the fused inference scan has nothing to infer.
+    */
+  def applyChanges(spark: SparkSession, tablePath: String, changes0: DataFrame, batchId: Long,
+                   lineageDir: Option[String] = None,
+                   policy: CompactionPolicy = CompactionPolicy()): ApplyResult = {
+    val t0 = System.nanoTime()
+    val snap = IceLite.load(tablePath)
+    if (snap.hasBatch(batchId)) {
+      return ApplyResult(batchId, committed = false, snap.version, 0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)
+    }
+    def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
+
+    val tScan0 = System.nanoTime()
+    // Typed sources carry non-nullable field/element flags (e.g. a codegen
+    // expression's containsNull=false); stored schemas use the nullable
+    // form the JSON path infers — normalize so casts across batches and
+    // schema versions stay legal (nullable → non-nullable casts are not).
+    val observed = StructType(changes0.schema.fields
+      .filterNot(f => reservedNames.contains(f.name))
+      .map(f => f.copy(dataType = nullableForm(f.dataType), nullable = true)))
+    val mergedPayload = SchemaMerge.mergeStruct(snap.payloadSchema, observed)
+    val schemaDiff = SchemaMerge.diff(snap.payloadSchema, mergedPayload)
+    val newSchemaV = if (schemaDiff.isEmpty) snap.schemaV else snap.schemaV + 1
+    val schemas =
+      if (schemaDiff.isEmpty) snap.schemas
+      else snap.schemas + (newSchemaV -> IceLite.fullSchema(mergedPayload))
+    val withBucket = changes0
+      .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // One O(buckets)-row metrics job (count + LSN range per bucket).
+      val stats = withBucket.groupBy(col(IceLite.BucketCol))
+        .agg(count(lit(1)).as("n"), min(col("lsn")).as("lo"), max(col("lsn")).as("hi"))
+        .collect()
+      val estRows = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val events = stats.map(_.getLong(1)).sum
+      val minLsn = if (stats.isEmpty) 0L else stats.map(_.getLong(2)).min
+      val maxLsn = if (stats.isEmpty) 0L else stats.map(_.getLong(3)).max
+      val tScan = ms(tScan0)
+
+      if (estRows.isEmpty) {
+        val newSnap = snap.copy(version = snap.version + 1, schemaV = newSchemaV,
+          schemas = schemas).withBatch(batchId)
+        IceLite.commitSnapshot(tablePath, newSnap)
+        val res = ApplyResult(batchId, committed = true, newSnap.version, 0, 0, 0,
+          0, 0, 0, 0, 0, 0, schemaDiff.toString, (System.nanoTime() - t0) / 1000000)
+        lineageDir.foreach(writeLineage(spark, _, res, Nil))
+        return res
+      }
+
+      val payloadNames = mergedPayload.fieldNames.toSeq
+      val changes = withBucket.select(
+        Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
+          payloadNames.map(n =>
+            (if (changes0.schema.fieldNames.contains(n)) col(n) else lit(null))
+              .cast(mergedPayload(n).dataType).as(n)) ++
+          Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol)): _*)
+
+      reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
+        estRows, events, 0L, minLsn, maxLsn, schemaDiff.toString,
+        batchId, policy, lineageDir, t0, tScan, 0L)
+    } finally withBucket.unpersist()
+  }
+
+  /** Fully-nullable form of a type (fields, array elements, map values). */
+  private def nullableForm(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = nullableForm(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(nullableForm(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(nullableForm(m.keyType), nullableForm(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Shared tail of both apply paths: compaction decision, per-bucket delta
+    * append, deterministic compaction, snapshot commit, lineage. `changes`
+    * is the reduced-input frame under the merged schema (keys, payload,
+    * `_lsn`, `_deleted`); `estRows` the per-bucket pre-reduce counts.
+    */
+  private def reduceAndCommit(spark: SparkSession, tablePath: String, snap: Snapshot,
+                              schemas: Map[Int, StructType], newSchemaV: Int,
+                              changes: DataFrame, estRows: Map[Int, Long],
+                              events: Long, malformed: Long, minLsn: Long, maxLsn: Long,
+                              schemaDiff: String, batchId: Long,
+                              policy: CompactionPolicy, lineageDir: Option[String],
+                              t0: Long, tScan: Long, tDead: Long): ApplyResult = {
+    def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
+    val touched = estRows.keySet
+    locally {
       val pendingRows: Map[Int, Long] = snap.deltas.groupBy(_.bucket)
         .map { case (b, es) => b -> es.map(_.rows).sum }
       val pendingFiles: Map[Int, Int] =
@@ -296,9 +400,6 @@ object MergeApply {
         }
         res
       } finally reduced.unpersist()
-    } finally {
-      payloadCache.foreach(_.unpersist())
-      parsed.unpersist()
     }
   }
 

@@ -61,20 +61,14 @@ object TextOps {
     call_function("minhash_sig", shingleCol, lit(numHashes))
   }
 
-  /** (doc_id, sh, n) distinct 3-shingle sets as 64-bit HASHES plus the set
-    * size, MATERIALIZED (persisted): Catalyst's CollapseProject would
-    * otherwise inline the shingle array into all `numHashes` hash lambdas
-    * (recomputing it 16×), and the LSH band self-join would re-evaluate the
-    * whole pipeline on both sides. Hashing the shingles once makes the
-    * per-pair exact verify a long-set intersection instead of a string-set
-    * one.
-    */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    CacheScope.persistUntilConsumed(shingleSetsOf(spark, withPlantedDups(spark, sfDir)))
-
-  /** Distinct hashed 3-shingle sets + set size of an arbitrary
-    * `(doc_id, text)` corpus — the shared front of the batch and
-    * incremental dedup pipelines (uncached; callers own the barrier).
+  /** (doc_id, sh, n): distinct 3-shingle sets as 64-bit HASHES plus the
+    * set size, for an arbitrary `(doc_id, text)` corpus — the shared front
+    * of the batch and incremental dedup pipelines. Hashing the shingles
+    * once makes the per-pair exact verify a long-set intersection instead
+    * of a string-set one. UNCACHED: callers own the persist barrier
+    * (without one, Catalyst's CollapseProject inlines the shingle array
+    * into all `numHashes` hash lambdas and the LSH band self-join
+    * re-evaluates the whole pipeline on both sides).
     */
   def shingleSetsOf(spark: SparkSession, corpus: DataFrame): DataFrame =
     corpus
@@ -110,8 +104,13 @@ object TextOps {
     * computable by the DuckDB oracle without reproducing xxhash64.
     */
   def candidateJaccard(spark: SparkSession, sfDir: String,
-                       numHashes: Int = 16): DataFrame = {
-    val sh = shingleSets(spark, sfDir)
+                       numHashes: Int = 16): DataFrame =
+    candidateJaccardOf(spark, withPlantedDups(spark, sfDir), numHashes)
+
+  /** [[candidateJaccard]] over an arbitrary `(doc_id, text)` corpus. */
+  def candidateJaccardOf(spark: SparkSession, corpus: DataFrame,
+                         numHashes: Int = 16): DataFrame = {
+    val sh = CacheScope.persistUntilConsumed(shingleSetsOf(spark, corpus))
     val sigs = sh.select(col("doc_id"), minhashSignature(spark, col("sh"), numHashes).as("sig"))
     val banded = sigs.select(col("doc_id"), posexplode(col("sig")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")

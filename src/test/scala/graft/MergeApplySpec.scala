@@ -23,6 +23,41 @@ class MergeApplySpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) -> r.getAs[String]("text"))
       .toMap
 
+  test("applyChanges (typed path) converges identically to applyRaw, evolution included") {
+    val rawDir = TestSpark.freshDir("ma-typed-raw")
+    val typedDir = TestSpark.freshDir("ma-typed")
+    IceLite.create(rawDir, numBuckets = 4)
+    IceLite.create(typedDir, numBuckets = 4)
+    // Batch 0: (role, text) payload; batch 1 evolves — adds `score` (double)
+    // and deletes one key; batch 2 replays batch 1 (exactly-once no-op).
+    val raw0 = lines(ev("I", 1, "a", 0, "x"), ev("I", 2, "b", 1, "y"), ev("U", 3, "a", 0, "x2"))
+    val raw1 = lines(
+      """{"op":"U","lsn":4,"conv_id":"b","turn_idx":1,"after":{"role":"user","text":"y2","score":1.5}}""",
+      """{"op":"D","lsn":5,"conv_id":"a","turn_idx":0}""")
+    MergeApply.applyRaw(spark, rawDir, raw0, 0L)
+    MergeApply.applyRaw(spark, rawDir, raw1, 1L)
+
+    val typed0 = Seq(("I", 1L, "a", 0, "user", "x"), ("I", 2L, "b", 1, "user", "y"),
+      ("U", 3L, "a", 0, "user", "x2"))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text")
+    val typed1 = Seq(("U", 4L, "b", 1, Some("user"), Some("y2"), Some(1.5)),
+      ("D", 5L, "a", 0, None, None, None))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "score")
+    val t0 = MergeApply.applyChanges(spark, typedDir, typed0, 0L)
+    assert(t0.committed && t0.events == 3 && t0.malformed == 0)
+    val t1 = MergeApply.applyChanges(spark, typedDir, typed1, 1L)
+    assert(t1.schemaChanged.contains("score"))
+    assert(MergeApply.applyChanges(spark, typedDir, typed1, 1L).committed == false) // epoch replay
+    val snapT = IceLite.load(typedDir)
+    assert(snapT.schemaV == 3 && snapT.schema.fieldNames.contains("score"))
+    def state(dir: String) = IceLite.read(spark, dir)
+      .select("conv_id", "turn_idx", "role", "text")
+      .collect().map(_.toSeq).toSet
+    assert(state(typedDir) == state(rawDir))
+    assert(IceLite.read(spark, typedDir).filter($"conv_id" === "b")
+      .select("score").as[Double].head() == 1.5)
+  }
+
   test("delta append path: batches write deltas, no base rewrite until threshold") {
     val dir = TestSpark.freshDir("ma-delta")
     IceLite.create(dir, numBuckets = 4)
