@@ -61,12 +61,20 @@ object IncrementalDedup {
     * Returns the number of surviving documents (−1 for a replayed epoch).
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long, cfg: Config): Long = {
+    val prof = sys.env.contains("GRAFT_PROF")
+    var tLast = System.nanoTime()
+    def lap(tag: String): Unit = if (prof) {
+      val t = System.nanoTime()
+      System.err.println(f"[prof] batch $batchId $tag%-12s ${(t - tLast) / 1e9}%6.2fs")
+      tLast = t
+    }
     val sigIndex = sigIndexPath(cfg)
     val docSigs = docSigsPath(cfg)
     if (!IceLite.exists(sigIndex)) IceLite.create(sigIndex, new StructType(), cfg.numBuckets)
     if (!IceLite.exists(docSigs)) IceLite.create(docSigs, new StructType(), cfg.numBuckets)
     val idxSnap = IceLite.load(sigIndex)
     if (idxSnap.hasBatch(batchId)) return -1L // exactly-once: epoch replayed
+    lap("snapshots")
 
     val sh = TextOps.shingleSetsOf(spark, batch.select("doc_id", "text")).persist()
     try {
@@ -86,33 +94,41 @@ object IncrementalDedup {
         val stateBands = readStateSlice(spark, sigIndex, idxSnap,
           bands.select(IceLite.bucketExpr(col("bk"), idxSnap.numBuckets).as("b")))
           .map(_.select(col("conv_id").as("bk"), col("doc_id")))
+        lap("probe_bands")
         // ---- candidates: every (smaller id, batch id) pair sharing a band
         // key — state rows and the batch itself on the left, batch on the
         // right; one keyed equi-join, never all-pairs.
         val left = stateBands.map(_.unionByName(bands)).getOrElse(bands)
+        // Persisted: the docsigs bucket-id probe below is an action on this
+        // frame, and the verify join consumes it again — without the barrier
+        // the band equi-join runs twice per batch.
         val cands = left.select(col("bk"), col("doc_id").as("doc_a"))
           .join(bands.select(col("bk"), col("doc_id").as("doc_b")), "bk")
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        // ---- exact-Jaccard verify; the stored side's shingle sets come
-        // from docsigs, bucket-pruned by the candidate ids.
-        val docSnap = IceLite.load(docSigs)
-        val stateSh = readStateSlice(spark, docSigs, docSnap,
-          cands.select(IceLite.bucketExpr(col("doc_a").cast(StringType), docSnap.numBuckets).as("b")))
-          .map(_.select(col("doc_id"), col("sh")))
-        val aSh = stateSh.map(_.unionByName(sh.select("doc_id", "sh"))).getOrElse(sh)
-        val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-        val dropped = cands
-          .join(aSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .filter(inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)
-            >= cfg.threshold)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val survivors = batch.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
-        // Deterministic per-batch output dir + overwrite = idempotent under
-        // crash-retry (re-derived from the same pinned snapshots).
-        survivors.write.mode(SaveMode.Overwrite)
-          .parquet(s"${survivorsPath(cfg)}/batch=$batchId")
+          .select("doc_a", "doc_b").distinct().persist()
+        try {
+          // ---- exact-Jaccard verify; the stored side's shingle sets come
+          // from docsigs, bucket-pruned by the candidate ids.
+          val docSnap = IceLite.load(docSigs)
+          val stateSh = readStateSlice(spark, docSigs, docSnap,
+            cands.select(IceLite.bucketExpr(col("doc_a").cast(StringType), docSnap.numBuckets).as("b")))
+            .map(_.select(col("doc_id"), col("sh")))
+          lap("probe_docs")
+          val aSh = stateSh.map(_.unionByName(sh.select("doc_id", "sh"))).getOrElse(sh)
+          val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+          val dropped = cands
+            .join(aSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+            .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+            .filter(inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)
+              >= cfg.threshold)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val survivors = batch.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+          // Deterministic per-batch output dir + overwrite = idempotent under
+          // crash-retry (re-derived from the same pinned snapshots).
+          survivors.write.mode(SaveMode.Overwrite)
+            .parquet(s"${survivorsPath(cfg)}/batch=$batchId")
+          lap("survivors")
+        } finally cands.unpersist()
         // ---- append ALL batch signatures through the real MERGE path
         // (delta append + epoch commit; the epoch guard above makes the
         // whole applyBatch idempotent). Typed apply: the rows are already
@@ -124,12 +140,16 @@ object IncrementalDedup {
           col("bk").as("conv_id"), col("doc_id").cast(IntegerType).as("turn_idx"),
           col("doc_id"))
         MergeApply.applyChanges(spark, sigIndex, bandChanges, batchId)
+        lap("merge_bands")
         val docChanges = sh.select(
           lit("U").as("op"), col("doc_id").as("lsn"),
           col("doc_id").cast(StringType).as("conv_id"), lit(0).as("turn_idx"),
           col("doc_id"), col("sh"))
         MergeApply.applyChanges(spark, docSigs, docChanges, batchId)
-        spark.read.parquet(s"${survivorsPath(cfg)}/batch=$batchId").count()
+        lap("merge_docs")
+        val n = spark.read.parquet(s"${survivorsPath(cfg)}/batch=$batchId").count()
+        lap("count")
+        n
       } finally bands.unpersist()
     } finally sh.unpersist()
   }
