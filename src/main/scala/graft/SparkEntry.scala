@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{BinaryDecoders, JsonSchemaRender, StatusRange}
-import graft.ops.{CdcQueries, MultimodalOps, PageOps, TextOps, VectorOps}
+import graft.ops.{CdcQueries, GraphOps, MultimodalOps, PageOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -213,6 +213,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
     "dedup_incremental" -> ((s, d) => CdcQueries.incrementalDedup(s, d)),
+    "dedup_cluster" -> ((s, d) => GraphOps.dedupCluster(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -429,6 +430,21 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM jac
          |                  WHERE jac.doc_b = c.doc_id AND jac.jaccard >= 0.5)
          |ORDER BY doc_id""".stripMargin,
+    // Near-dup cluster assignment = connected components over the ≥0.5-
+    // Jaccard pair graph; canon = component minimum. The oracle closes the
+    // reachability relation with a recursive CTE (fine at oracle scale; the
+    // Spark side is the O(log² n)-round large-star/small-star algorithm).
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $corpusShingleSql,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE jaccard >= 0.5),
+         |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+         |walk AS (
+         |  SELECT u AS id, u AS reach FROM (SELECT DISTINCT u FROM sym)
+         |  UNION
+         |  SELECT w.id, s.v AS reach FROM walk w JOIN sym s ON s.u = w.reach),
+         |comp AS (SELECT id AS doc_id, min(reach) AS canon FROM walk GROUP BY id)
+         |SELECT doc_id, canon, count(*) OVER (PARTITION BY canon) AS cluster_sz
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

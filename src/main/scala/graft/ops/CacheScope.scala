@@ -42,6 +42,15 @@ object CacheScope {
   def persistUntilConsumed(df: DataFrame,
                            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
+    releaseWhenConsumed(df)
+  }
+
+  /** Registers the one-shot release listener WITHOUT persisting — for
+    * operators that persist a frame themselves mid-iteration (e.g. the
+    * connected-components loop, whose final frontier is already cached when
+    * the loop exits) and only need the consumption-scoped unpersist.
+    */
+  def releaseWhenConsumed(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = df.queryExecution.analyzed
     val listener = new QueryExecutionListener {

@@ -90,6 +90,28 @@ class PlanSpec extends AnyFunSuite {
       s"candidate join must be keyed:\n$cp")
   }
 
+  test("dedup_cluster: no cartesian; cluster assembly reads the checkpointed star frontier") {
+    val df = SparkEntry.queries("dedup_cluster")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster assembly must stay keyed:\n$p")
+    // Lineage-truncation evidence: the plan must root at the checkpointed
+    // star RDD, NOT re-embed the LSH pipeline + star-iteration chain (which
+    // would both recompute the rounds and blow up Catalyst analysis).
+    assert(p.contains("ExistingRDD"),
+      s"star frontier not checkpoint-backed — iteration lineage leaked into the result plan:\n$p")
+    assert(!p.contains("minhash_sig"),
+      s"result plan re-embeds the LSH signature pipeline:\n$p")
+    // The star step itself is the same keyed-join shape asserted for the
+    // banded candidates: groupBy(min) + equi-join on the node key.
+    import spark.implicits._
+    val edges = Seq((5L, 1L), (7L, 1L), (9L, 5L)).toDF("u", "v")
+    val mins = edges.groupBy("u").agg(org.apache.spark.sql.functions.min("v").as("m"))
+    val step = edges.join(mins, "u").queryExecution.executedPlan.toString
+    assert(!step.contains("CartesianProduct") && !step.contains("BroadcastNestedLoopJoin"),
+      s"star step must join on the node key:\n$step")
+  }
+
   test("pagination_follow: every hop is an equi-join (frontier broadcast), no cartesian") {
     val p = plan("pagination_follow")
     assert(!p.contains("CartesianProduct"), s"chain walk must not cross-join:\n$p")
