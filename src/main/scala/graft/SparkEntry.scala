@@ -216,6 +216,10 @@ object SparkEntry {
     "dedup_cluster" -> ((s, d) => GraphOps.dedupCluster(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
+    // Corpus-scale simhash config: 16-bit blocks + 1-bit multi-index
+    // probes. SAME oracle as dedup_simhash — the driver proves the scaled
+    // banding loses zero radius-7 recall.
+    "dedup_simhash_mip" -> ((s, d) => TextOps.dedupSimhash(s, d, blockBits = 16)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -301,6 +305,26 @@ object SparkEntry {
         s"THEN 1.0 ELSE -1.0 END)))"
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("+")
+
+  /** Brute-force all-pairs Hamming ≤ 7 over the planted-dup corpus — the
+    * recall ground truth both simhash banding configs must reproduce.
+    */
+  private val simhashOracleSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         array_to_string(string_split(text, ' ')[2:], ' ') AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |hx AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+       |                h -> md5(h)) AS hs FROM corpus),
+       |s AS (SELECT doc_id, ${simhashHalfSql(0 until 32)} AS lo,
+       |             ${simhashHalfSql(32 until 64)} AS hi FROM hx)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "decode_guid_sid" ->
@@ -445,22 +469,11 @@ object SparkEntry {
          |comp AS (SELECT id AS doc_id, min(reach) AS canon FROM walk GROUP BY id)
          |SELECT doc_id, canon, count(*) OVER (PARTITION BY canon) AS cluster_sz
          |FROM comp ORDER BY doc_id""".stripMargin,
-    "dedup_simhash" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id,
-         |         array_to_string(string_split(text, ' ')[2:], ' ') AS text
-         |  FROM documents WHERE doc_id % 25 = 0),
-         |hx AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
-         |                h -> md5(h)) AS hs FROM corpus),
-         |s AS (SELECT doc_id, ${simhashHalfSql(0 until 32)} AS lo,
-         |             ${simhashHalfSql(32 until 64)} AS hi FROM hx)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" -> simhashOracleSql,
+    // Identical brute-force oracle on purpose: a green row here certifies
+    // the 16-bit-block + multi-index-probe banding finds the SAME exact
+    // radius-7 pair set as the 8-bit pigeonhole config.
+    "dedup_simhash_mip" -> simhashOracleSql,
     "sim_ann_lsh" ->
       s"""WITH sigs AS (
          |  SELECT vec_id, t, ${annSigSql(8)} AS sig

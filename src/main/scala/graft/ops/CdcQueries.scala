@@ -209,7 +209,10 @@ object CdcQueries {
     */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("incdedup", sfDir)
-    val cfg = IncrementalDedup.Config(base)
+    // Buckets sized to the test corpus (the default 32 writes 4× the delta
+    // files per MERGE for no pruning benefit at this volume — bucket count
+    // should track table size, which is what IceLite.rebucket is for).
+    val cfg = IncrementalDedup.Config(base, numBuckets = 8)
     val corpus = TextOps.withPlantedDups(spark, sfDir).select("doc_id", "text")
     val half = spark.read.parquet(s"$sfDir/documents.parquet")
       .agg(floor(max(col("doc_id")) / 2)).head.getLong(0)

@@ -58,9 +58,11 @@ object GraphOps {
       val next = smallStar(largeStar(cur).localCheckpoint(true)).localCheckpoint(true)
       val nsig = checksum(next)
       if (nsig == sig) {
-        // checksum fixpoint — confirm set equality exactly (both frames are
-        // checkpointed, so the two anti-join probes are cheap, run once)
-        if (next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty) return next
+        // checksum fixpoint — confirm exactly. Both frames are DISTINCT sets
+        // and the checksum already matched their row counts, so equal counts
+        // + one empty difference ⇒ set equality (no second probe needed);
+        // both sides are checkpointed, so the probe runs cheap, once.
+        if (next.exceptAll(cur).isEmpty) return next
         // astronomically unlikely (count+xor collision): keep iterating
       }
       cur = next

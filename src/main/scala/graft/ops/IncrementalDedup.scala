@@ -135,18 +135,26 @@ object IncrementalDedup {
         // columnar, so no JSON round-trip and no per-row inference —
         // `MergeApply.applyChanges` is the record-oriented twin of the
         // JSONL path (measured ~2× per-batch apply cost without it).
+        // The two state tables are independent (own dirs, own commit
+        // locks), so their appends run as CONCURRENT Spark jobs — neither
+        // append's shuffle saturates the cluster alone, and overlapping
+        // them hides one commit latency per batch.
         val bandChanges = bands.select(
           lit("U").as("op"), col("doc_id").as("lsn"),
           col("bk").as("conv_id"), col("doc_id").cast(IntegerType).as("turn_idx"),
           col("doc_id"))
-        MergeApply.applyChanges(spark, sigIndex, bandChanges, batchId)
-        lap("merge_bands")
         val docChanges = sh.select(
           lit("U").as("op"), col("doc_id").as("lsn"),
           col("doc_id").cast(StringType).as("conv_id"), lit(0).as("turn_idx"),
           col("doc_id"), col("sh"))
-        MergeApply.applyChanges(spark, docSigs, docChanges, batchId)
-        lap("merge_docs")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val appends = Seq(
+          Future(MergeApply.applyChanges(spark, sigIndex, bandChanges, batchId)),
+          Future(MergeApply.applyChanges(spark, docSigs, docChanges, batchId)))
+        appends.foreach(Await.result(_, Duration.Inf))
+        lap("merge_state")
         val n = spark.read.parquet(s"${survivorsPath(cfg)}/batch=$batchId").count()
         lap("count")
         n

@@ -182,18 +182,21 @@ object TextOps {
     *  - blockBits=8 (default): 8 blocks, radius-7 guarantee, 256
     *    keys/block → ~n²/32 spurious pairs: exact to radius 7, right for
     *    moderate corpora (the graded one);
-    *  - blockBits=16: 4 blocks, radius-3 guarantee, 65536 keys/block →
-    *    ~n²/16384 spurious pairs — 512× fewer, the knob a 10⁸⁺-doc corpus
-    *    needs (radius >3 recall there comes from multi-index probing or
-    *    accepting documented probabilistic recall, like the minhash path).
+    *  - blockBits=16: 4 blocks, radius-3 guarantee from pigeonhole alone,
+    *    65536 keys/block → ~n²/16384 spurious pairs — 512× fewer, the knob
+    *    a 10⁸⁺-doc corpus needs; with `probeRadius=1` (multi-index 1-bit
+    *    probing, see below) the radius-7 guarantee is RESTORED at this key
+    *    width for ~n²/964 candidates, still ~30× below the 8-bit config.
     *
     * Reference precedent for bounding work by configuration:
     * InsecureInvokeHTTP.java:1291 (maxPages bounds the pagination loop).
     */
   def simhashCandidates(spark: SparkSession, corpus: DataFrame,
-                        blockBits: Int = 8): DataFrame = {
+                        blockBits: Int = 8, probeRadius: Int = 0): DataFrame = {
     require(64 % blockBits == 0 && blockBits >= 8 && blockBits <= 32,
       s"blockBits must divide 64 and be in [8,32], got $blockBits")
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"probeRadius 0 (exact block keys) or 1 (multi-index 1-bit probes) supported, got $probeRadius")
     // The whole fingerprint — lowercase, split, md5 per word, 64-bit ±1
     // fold — is ONE native codegen pass ([[graft.functions.SimhashBits]]),
     // so no per-word struct array is materialized. Its parity spec pins the
@@ -211,7 +214,23 @@ object TextOps {
     val blocked = d.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
       posexplode(array(blocks: _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_key")
-    val l = blocked.select(col("block"), col("block_key"), col("doc_id").as("doc_a"),
+    // Multi-index probing (Norouzi/Punjani/Fleet, "Fast Search in Hamming
+    // Space with Multi-Index Hashing"): with probeRadius=1 the LEFT side of
+    // the candidate join expands each block key to itself + its `blockBits`
+    // one-bit flips, the right side keeps exact keys. Pigeonhole over
+    // nBlocks blocks puts ≤ ⌊maxHamming/nBlocks⌋ differing bits in SOME
+    // block, so probing 1-bit flips restores GUARANTEED recall up to
+    // Hamming 2·nBlocks−1 at the wide-key cardinality (e.g. 16-bit blocks:
+    // radius-7 total recall with 65536-value keys — candidate mass
+    // ~(blockBits+1)·nBlocks·n²/2^blockBits ≈ n²/964, ~30× below the 8-bit
+    // config's n²/32, while keeping its guarantee).
+    val probed =
+      if (probeRadius == 0) blocked
+      else blocked.select(col("doc_id"), col("sh_lo"), col("sh_hi"), col("block"),
+        explode(array(col("block_key") +:
+          (0 until blockBits).map(b => col("block_key").bitwiseXOR(lit(1L << b))): _*))
+          .as("block_key"))
+    val l = probed.select(col("block"), col("block_key"), col("doc_id").as("doc_a"),
       col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
     val r = blocked.select(col("block"), col("block_key"), col("doc_id").as("doc_b"),
       col("sh_lo").as("lo_b"), col("sh_hi").as("hi_b"))
@@ -224,15 +243,24 @@ object TextOps {
   }
 
   /** Near-duplicate pairs at Hamming ≤ `maxHamming` over the planted-dup
-    * corpus. The default (blockBits=8) keeps the radius-7 pigeonhole
-    * guarantee the driver oracle checks; see [[simhashCandidates]] for the
-    * corpus-scale configuration.
+    * corpus. The probe radius is derived from the pigeonhole gap: with
+    * nBlocks = 64/blockBits blocks, pigeonhole alone covers
+    * maxHamming ≤ nBlocks−1, and 1-bit multi-index probes extend the
+    * guarantee to 2·nBlocks−1 — so blockBits=8 probes nothing (unchanged
+    * plan) and blockBits=16 probes 1-bit flips, and BOTH configs return the
+    * exact radius-`maxHamming` pair set (the driver runs the same
+    * brute-force oracle against each).
     */
   def dedupSimhash(spark: SparkSession, sfDir: String, maxHamming: Int = 7,
-                   blockBits: Int = 8): DataFrame =
-    simhashCandidates(spark, withPlantedDups(spark, sfDir), blockBits)
+                   blockBits: Int = 8): DataFrame = {
+    val nBlocks = 64 / blockBits
+    val probeRadius = math.max(0, math.min(1, maxHamming / nBlocks))
+    require(maxHamming <= (probeRadius + 1) * nBlocks - 1,
+      s"maxHamming=$maxHamming exceeds the recall guarantee of $nBlocks blocks with 1-bit probes")
+    simhashCandidates(spark, withPlantedDups(spark, sfDir), blockBits, probeRadius)
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Quality scoring: length, word count, punctuation ratio, stopword ratio
     * (InsecureInvokeHTTP-style per-record classification, SQL-parity form).

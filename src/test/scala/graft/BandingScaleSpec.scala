@@ -95,6 +95,38 @@ class BandingScaleSpec extends AnyFunSuite {
       s"16-bit banding missed ${truth -- found} / invented ${found -- truth}")
   }
 
+  test("simhash: 1-bit multi-index probes restore radius-7 recall at 16-bit blocks, still ≪ 8-bit candidates") {
+    val (n1, n2) = (1500, 6000)
+    def count(n: Int, bits: Int, probe: Int): Long =
+      TextOps.simhashCandidates(spark, textCorpus(n), blockBits = bits, probeRadius = probe).count()
+    val c8a = count(n1, 8, 0); val c8b = count(n2, 8, 0)
+    val cpa = count(n1, 16, 1); val cpb = count(n2, 16, 1)
+    info(f"8-bit exact:      n=$n1 -> $c8a%,d cands, n=$n2 -> $c8b%,d")
+    info(f"16-bit + probes:  n=$n1 -> $cpa%,d cands, n=$n2 -> $cpb%,d")
+    // Same radius-7 guarantee as the 8-bit config, at a fraction of the
+    // candidate mass (expected ratio ~ (17·4/2^16)/(8/2^8) ≈ 1/30).
+    assert(cpa * 5 < c8a && cpb * 5 < c8b,
+      s"expected >=5x candidate reduction vs 8-bit blocks ($c8a->$cpa, $c8b->$cpb)")
+    // Recall: the probed candidate set must contain EVERY radius-7 pair
+    // (ground truth by brute force over collected fingerprints).
+    val corpus = textCorpus(n1)
+    graft.functions.SimhashBits.register(spark)
+    val fps = corpus.select(col("doc_id"),
+        call_function("simhash_bits", col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val truth = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa(0) ^ fb(0)) + java.lang.Long.bitCount(fa(1) ^ fb(1))
+      if h <= 7
+    } yield (a, b)).toSet
+    val found = TextOps.simhashCandidates(spark, corpus, blockBits = 16, probeRadius = 1)
+      .filter(col("hamming") <= 7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus must contain planted pairs")
+    assert(found == truth,
+      s"multi-index probing missed ${truth -- found} / invented ${found -- truth}")
+  }
+
   test("embedding LSH: 16 planes collapse spurious candidates; recall compensated by tables") {
     import org.apache.spark.sql.DataFrame
     val (n1, n2) = (1000, 4000)
