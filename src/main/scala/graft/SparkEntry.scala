@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{BinaryDecoders, JsonSchemaRender, StatusRange}
-import graft.ops.{CdcQueries, GraphOps, MultimodalOps, PageOps, TextOps, VectorOps}
+import graft.ops.{CdcQueries, GraphOps, MultimodalOps, PackOps, PageOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -224,6 +224,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "seq_pack" -> ((s, d) => PackOps.seqPack(s, d)),
 
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
@@ -469,6 +470,24 @@ object SparkEntry {
          |comp AS (SELECT id AS doc_id, min(reach) AS canon FROM walk GROUP BY id)
          |SELECT doc_id, canon, count(*) OVER (PARTITION BY canon) AS cluster_sz
          |FROM comp ORDER BY doc_id""".stripMargin,
+    // GPT-style concat-and-slice sequence packing: global token offsets in
+    // doc_id order, sliced into 512-token training windows. The oracle is
+    // the naive single-stream window cumsum; the Spark side computes the
+    // same offsets with a two-phase distributed prefix scan (no
+    // SinglePartition exchange — PlanSpec asserts).
+    "seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS start_off
+        |      FROM d)
+        |SELECT doc_id, n_tok, start_off,
+        |       CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
+        |       CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) AS pack_last
+        |FROM o ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     // Identical brute-force oracle on purpose: a green row here certifies
     // the 16-bit-block + multi-index-probe banding finds the SAME exact

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for training-data assembly: documents are concatenated
+  * in doc_id order and sliced into fixed token-budget training windows
+  * (GPT-style concat-and-slice packing — a document may straddle two
+  * windows). Each doc's placement is determined by its GLOBAL token start
+  * offset, i.e. the exclusive running sum of token counts in doc order.
+  *
+  * The scale-critical part is HOW the running sum is computed. The naive
+  * `Window.orderBy(doc_id)` global cumulative sum forces an
+  * `Exchange SinglePartition` — every row through ONE reducer, the worst
+  * possible 100 TB plan. This operator runs the textbook two-phase
+  * distributed prefix scan instead:
+  *
+  *  1. split the doc_id domain into `parts` contiguous RANGE buckets
+  *     (so bucket asc + doc_id asc IS the global order);
+  *  2. per-bucket token totals — one small aggregate, `parts` rows to the
+  *     driver (O(parts), independent of corpus size);
+  *  3. exclusive prefix over those totals → per-bucket start offsets,
+  *     broadcast back;
+  *  4. per-bucket window cumsum (parallel across buckets) + bucket offset.
+  *
+  * PlanSpec asserts the plan contains no SinglePartition exchange.
+  */
+object PackOps {
+
+  /** (doc_id, n_tok, start_off, pack_first, pack_last) for every document:
+    * `start_off` its global token offset, `pack_first`/`pack_last` the
+    * fixed-`budget` training windows its tokens land in.
+    */
+  def seqPack(spark: SparkSession, sfDir: String, budget: Long = 512L,
+              parts: Int = 32): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    // contiguous ranges: bucket = doc_id / width keeps (bucket, doc_id)
+    // ordered exactly like doc_id alone
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val width = maxId / parts + 1
+    val bucketed = docs.withColumn("bkt", (col("doc_id") / width).cast(IntegerType))
+    val partials = bucketed.groupBy("bkt").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bucketTotals = (0 until parts).map(partials.getOrElse(_, 0L))
+    val exclusivePrefix = bucketTotals.scanLeft(0L)(_ + _).dropRight(1)
+    import spark.implicits._
+    val offsets = exclusivePrefix.zipWithIndex
+      .map { case (off, i) => (i, off) }.toDF("bkt", "bucket_off")
+    val inBucket = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("start_off",
+        col("bucket_off") + coalesce(sum("n_tok").over(inBucket), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        floor(col("start_off") / budget).as("pack_first"),
+        floor((col("start_off") + col("n_tok") - 1) / budget).as("pack_last"))
+      .orderBy("doc_id")
+  }
+}

@@ -112,6 +112,18 @@ class PlanSpec extends AnyFunSuite {
       s"star step must join on the node key:\n$step")
   }
 
+  test("seq_pack: global running sum WITHOUT a single-partition exchange") {
+    val p = plan("seq_pack")
+    // The naive Window.orderBy(doc_id) cumsum funnels the corpus through
+    // ONE reducer; the two-phase prefix scan must never do that. (The final
+    // presentation orderBy is a range exchange, not SinglePartition.)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cumsum collapsed to one partition:\n$p")
+    assert(p.contains("Window"), s"expected per-bucket window cumsum:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must join via broadcast:\n$p")
+  }
+
   test("pagination_follow: every hop is an equi-join (frontier broadcast), no cartesian") {
     val p = plan("pagination_follow")
     assert(!p.contains("CartesianProduct"), s"chain walk must not cross-join:\n$p")
