@@ -242,6 +242,14 @@ object Bench {
           System.err.println(s"[bench] shared-table build FAILED: ${e.getMessage}") }
         val primeSecs = (System.nanoTime() - tP0) / 1e9
         System.err.println(f"[bench] _shared_upsert_build     $primeSecs%.2fs (untimed setup)")
+        // Same treatment for the staged incremental-dedup state (shared by
+        // dedup_incremental + dedup_cluster_inc).
+        val tP1 = System.nanoTime()
+        try graft.ops.CdcQueries.sharedIncDedupState(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] shared-incdedup build FAILED: ${e.getMessage}") }
+        val primeIncSecs = (System.nanoTime() - tP1) / 1e9
+        System.err.println(f"[bench] _shared_incdedup_build   $primeIncSecs%.2fs (untimed setup)")
         val sweep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           // noop sink, not count(): count() lets Catalyst prune every output
@@ -257,7 +265,8 @@ object Bench {
           System.err.println(f"[bench] $name%-24s $secs%.2fs")
           name -> secs
         }
-        ("_shared_upsert_build" -> primeSecs) +: sweep
+        ("_shared_upsert_build" -> primeSecs) +:
+          ("_shared_incdedup_build" -> primeIncSecs) +: sweep
       } finally spark.stop()
 
     val best = math.max(eps4N, epsPeak)

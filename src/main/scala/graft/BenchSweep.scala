@@ -42,6 +42,12 @@ object BenchSweep {
         System.err.println(s"[sweep] shared-table build FAILED: ${e.getMessage}") }
       System.err.println(
         f"[sweep] _shared_upsert_build     ${(System.nanoTime() - tP0) / 1e9}%.2fs (untimed setup)")
+      val tP1 = System.nanoTime()
+      try graft.ops.CdcQueries.sharedIncDedupState(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[sweep] shared-incdedup build FAILED: ${e.getMessage}") }
+      System.err.println(
+        f"[sweep] _shared_incdedup_build   ${(System.nanoTime() - tP1) / 1e9}%.2fs (untimed setup)")
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>

@@ -214,6 +214,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
     "dedup_incremental" -> ((s, d) => CdcQueries.incrementalDedup(s, d)),
     "dedup_cluster" -> ((s, d) => GraphOps.dedupCluster(s, d)),
+    "dedup_cluster_inc" -> ((s, d) => CdcQueries.incrementalDedupCluster(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     // Corpus-scale simhash config: 16-bit blocks + 1-bit multi-index
@@ -326,6 +327,23 @@ object SparkEntry {
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup cluster assignment = connected components over the ≥0.5-
+    * Jaccard pair graph; canon = component minimum. The oracle closes the
+    * reachability relation with a recursive CTE (fine at oracle scale; the
+    * Spark side is the O(log² n)-round large-star/small-star algorithm).
+    */
+  private val clusterOracleSql: String =
+    s"""WITH RECURSIVE $corpusShingleSql,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE jaccard >= 0.5),
+       |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+       |walk AS (
+       |  SELECT u AS id, u AS reach FROM (SELECT DISTINCT u FROM sym)
+       |  UNION
+       |  SELECT w.id, s.v AS reach FROM walk w JOIN sym s ON s.u = w.reach),
+       |comp AS (SELECT id AS doc_id, min(reach) AS canon FROM walk GROUP BY id)
+       |SELECT doc_id, canon, count(*) OVER (PARTITION BY canon) AS cluster_sz
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "decode_guid_sid" ->
@@ -455,21 +473,11 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM jac
          |                  WHERE jac.doc_b = c.doc_id AND jac.jaccard >= 0.5)
          |ORDER BY doc_id""".stripMargin,
-    // Near-dup cluster assignment = connected components over the ≥0.5-
-    // Jaccard pair graph; canon = component minimum. The oracle closes the
-    // reachability relation with a recursive CTE (fine at oracle scale; the
-    // Spark side is the O(log² n)-round large-star/small-star algorithm).
-    "dedup_cluster" ->
-      s"""WITH RECURSIVE $corpusShingleSql,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE jaccard >= 0.5),
-         |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
-         |walk AS (
-         |  SELECT u AS id, u AS reach FROM (SELECT DISTINCT u FROM sym)
-         |  UNION
-         |  SELECT w.id, s.v AS reach FROM walk w JOIN sym s ON s.u = w.reach),
-         |comp AS (SELECT id AS doc_id, min(reach) AS canon FROM walk GROUP BY id)
-         |SELECT doc_id, canon, count(*) OVER (PARTITION BY canon) AS cluster_sz
-         |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_cluster" -> clusterOracleSql,
+    // Identical oracle on purpose: the incremental variant reconstructs the
+    // cluster assignment from the per-batch verified-pair LOG the CDC state
+    // accumulates — a green row certifies incremental == whole-corpus.
+    "dedup_cluster_inc" -> clusterOracleSql,
     // GPT-style concat-and-slice sequence packing: global token offsets in
     // doc_id order, sliced into 512-token training windows. The oracle is
     // the naive single-stream window cumsum; the Spark side computes the

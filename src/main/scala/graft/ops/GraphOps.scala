@@ -117,10 +117,17 @@ object GraphOps {
     * emitted (they are their own trivial cluster).
     */
   def dedupCluster(spark: SparkSession, sfDir: String,
-                   threshold: Double = 0.5): DataFrame = {
-    val pairs = TextOps.candidateJaccard(spark, sfDir)
+                   threshold: Double = 0.5): DataFrame =
+    clusterAssignments(TextOps.candidateJaccard(spark, sfDir)
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b"))
+
+  /** Cluster assignment rows `(doc_id, canon, cluster_sz)` for an arbitrary
+    * near-dup pair graph (columns `doc_a` < `doc_b`) — the assembly stage
+    * shared by the whole-corpus [[dedupCluster]] and the CDC-incremental
+    * variant (CC over [[IncrementalDedup.dupPairs]]' accumulated pair log).
+    */
+  def clusterAssignments(pairs: DataFrame): DataFrame = {
     val stars = connectedComponents(pairs)
     val members = stars.select(col("u").as("doc_id"), col("v").as("canon"))
       .unionByName(stars.select(col("v").as("doc_id"), col("v").as("canon")).distinct())

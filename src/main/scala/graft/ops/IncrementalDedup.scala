@@ -54,6 +54,7 @@ object IncrementalDedup {
   private def sigIndexPath(cfg: Config) = s"${cfg.stateDir}/sigindex"
   private def docSigsPath(cfg: Config) = s"${cfg.stateDir}/docsigs"
   private def survivorsPath(cfg: Config) = s"${cfg.stateDir}/survivors"
+  private def dupPairsPath(cfg: Config) = s"${cfg.stateDir}/duppairs"
 
   /** Dedup one `(doc_id, text)` batch against the stored state, write its
     * survivors to `survivors/batch=<id>/`, append its signatures. Batches
@@ -116,11 +117,24 @@ object IncrementalDedup {
           lap("probe_docs")
           val aSh = stateSh.map(_.unionByName(sh.select("doc_id", "sh"))).getOrElse(sh)
           val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-          val dropped = cands
+          // ---- verified near-dup PAIRS this batch discovered, written to a
+          // deterministic per-batch dir (the batch-vs-state pair LOG: with
+          // id-ordered batches every corpus pair is discovered exactly once,
+          // in its larger member's batch, so the accumulated log equals the
+          // corpus-wide verified pair set — [[dupPairs]] feeds the
+          // incremental CLUSTER query, certified against the whole-corpus
+          // dedup_cluster oracle). Materializing the log also runs the
+          // verify join once; dropped docs and survivors derive from the
+          // written files.
+          val verified = cands
             .join(aSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
             .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
             .filter(inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)
               >= cfg.threshold)
+            .select("doc_a", "doc_b")
+          verified.write.mode(SaveMode.Overwrite)
+            .parquet(s"${dupPairsPath(cfg)}/batch=$batchId")
+          val dropped = spark.read.parquet(s"${dupPairsPath(cfg)}/batch=$batchId")
             .select(col("doc_b").as("doc_id")).distinct()
           val survivors = batch.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
           // Deterministic per-batch output dir + overwrite = idempotent under
@@ -183,4 +197,11 @@ object IncrementalDedup {
   def survivors(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(survivorsPath(cfg))
       .select(col("batch").cast(LongType).as("batch"), col("doc_id"))
+
+  /** The accumulated verified near-dup pair log `(doc_a, doc_b)` — equal to
+    * the corpus-wide verified pair set once all batches are applied (each
+    * pair lands exactly once, in its larger member's batch).
+    */
+  def dupPairs(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(dupPairsPath(cfg)).select("doc_a", "doc_b")
 }

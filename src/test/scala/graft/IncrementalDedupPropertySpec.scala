@@ -37,6 +37,22 @@ class IncrementalDedupPropertySpec extends AnyFunSuite {
     }.toSet
   }
 
+  /** Corpus-wide verified pair set (doc_a < doc_b, Jaccard ≥ threshold). */
+  private def referencePairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long)] = {
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length < 3) Set(w.mkString(" ")) else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = docs.map(_._1)
+    (for {
+      a <- ids; b <- ids if a < b
+      (sa, sb) = (sh(a), sh(b))
+      inter = (sa & sb).size.toDouble
+      if inter / (sa.size + sb.size - inter) >= threshold
+    } yield (a, b)).toSet
+  }
+
   private val genCase: Gen[(Seq[(Long, String)], Int)] = for {
     n <- Gen.choose(30, 70)
     vocabSize <- Gen.choose(8, 14)
@@ -65,8 +81,17 @@ class IncrementalDedupPropertySpec extends AnyFunSuite {
       val got = IncrementalDedup.survivors(spark, cfg)
         .select("doc_id").as[Long].collect().toSet
       val want = referenceSurvivors(docs, cfg.threshold)
-      Prop(got == want) :|
-        s"batches=$nBatches missing=${want -- got} extra=${got -- want} corpus=${docs.take(8)}..."
+      // The accumulated per-batch pair LOG must equal the corpus-wide
+      // verified pair set regardless of the split (each pair discovered
+      // exactly once, in its larger member's batch) — the invariant the
+      // incremental cluster query builds on.
+      val gotPairs = IncrementalDedup.dupPairs(spark, cfg)
+        .as[(Long, Long)].collect().toSet
+      val wantPairs = referencePairs(docs, cfg.threshold)
+      (Prop(got == want) :|
+        s"batches=$nBatches missing=${want -- got} extra=${got -- want} corpus=${docs.take(8)}...") &&
+        (Prop(gotPairs == wantPairs) :|
+          s"pairlog batches=$nBatches missing=${wantPairs -- gotPairs} extra=${gotPairs -- wantPairs}")
     }
     val n = sys.env.getOrElse("GRAFT_FUZZ_N", "6").toInt
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
