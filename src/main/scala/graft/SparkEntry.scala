@@ -230,6 +230,7 @@ object SparkEntry {
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
+    "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
 
     // ---- page combine / LDIF / DNS shaping (SURVEY §2.4 A2, §2.8 F15/F16/F12, §2.2 P7) ----
@@ -520,6 +521,31 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
          |  FROM scored)
          |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin,
+    // IVF ANN: the oracle re-runs the identical algorithm — sampled
+    // centroids (vec_id < 16), nearest-cell assignment, nprobe=4 probe
+    // cells per query, exact cosine re-rank — with the same round(·,4) +
+    // id tie-break ordering discipline as every vector query.
+    "sim_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cid) AS rn
+        |  FROM e, cent c),
+        |inv AS (SELECT cid, vec_id AS nid FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cid FROM ranked
+        |           WHERE vec_id < 10 AND rn <= 4),
+        |scored AS (
+        |  SELECT p.qid, i.nid,
+        |         round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+        |  FROM probes p JOIN inv i ON i.cid = p.cid
+        |  JOIN e qe ON qe.vec_id = p.qid JOIN e ne ON ne.vec_id = i.nid
+        |  WHERE i.nid <> p.qid)
+        |SELECT qid, nid, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin,
     // Every modality round-trips a REAL JDK codec; the oracle reproduces the
     // DECODED features from the generator formulas, never container bytes
     // (encoder-dependent). Image (PNG): pixel = (7x+13y+doc_id) mod 256.

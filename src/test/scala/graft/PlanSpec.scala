@@ -66,6 +66,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
   }
 
+  test("sim_ann_ivf: centroid fan-out broadcast-bounded; candidates via cell equi-join") {
+    val p = plan("sim_ann_ivf")
+    // The n × nlist centroid ranking is a DELIBERATE cross join, but it must
+    // be the broadcast form (corpus scan × tiny broadcast centroid set, cost
+    // bounded by nlist) — never a shuffled CartesianProduct.
+    assert(!p.contains("CartesianProduct"),
+      s"centroid ranking must broadcast the centroid set, not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast centroid fan-out:\n$p")
+    // The probe → inverted-file candidate join keys on the cell id.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a keyed cell equi-join:\n$p")
+  }
+
   test("incremental dedup: batch-vs-state candidates and verify are keyed joins, no cartesian") {
     val dir = TestSpark.freshDir("plan-incdedup")
     val cfg = graft.ops.IncrementalDedup.Config(dir, numBuckets = 4)
