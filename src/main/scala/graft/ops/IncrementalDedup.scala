@@ -191,6 +191,46 @@ object IncrementalDedup {
     }
   }
 
+  /** Streaming form of the operator — the shape a 100 TB ingest actually
+    * deploys: tail a JSONL document feed (one `{"doc_id":…,"text":…}`
+    * object per line, files arriving in ascending doc_id ranges — the same
+    * LSN-ordered contract as [[applyBatch]]), and dedup each micro-batch
+    * against the stored state inside `foreachBatch`, checkpointed like
+    * [[graft.cdc.Pipeline.replay]]. Restart resumes from the source offset
+    * log, and a crash between the offset commit and the state commit is
+    * absorbed by `applyBatch`'s epoch guard + deterministic overwrite dirs —
+    * the streaming layer adds resume, the batch layer already carries
+    * exactly-once. Returns per-batch survivor counts (−1 = replayed epoch).
+    */
+  def stream(spark: SparkSession, feedDir: String, checkpointDir: String,
+             cfg: Config, maxFilesPerTrigger: Option[Int] = None): Seq[Long] = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StructField, StructType => ST}
+    val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var reader = spark.readStream
+      .schema(ST(Seq(StructField("value", StringType))))
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val q = reader.option("recursiveFileLookup", "true").text(feedDir)
+      .writeStream
+      .foreachBatch { (lines: DataFrame, batchId: Long) =>
+        val docs = lines.select(
+          get_json_object(col("value"), "$.doc_id").cast(LongType).as("doc_id"),
+          get_json_object(col("value"), "$.text").as("text"))
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        // The batch frame is bound to the stream's CLONED session (its
+        // function registry was snapshotted at stream start) — register and
+        // resolve against that session, not the outer one.
+        val n = applyBatch(lines.sparkSession, docs, batchId, cfg)
+        results.synchronized { results += n }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.toSeq
+  }
+
   /** All surviving documents so far: `(batch, doc_id)` with `batch` the
     * discovered partition of the per-batch survivor dirs.
     */
