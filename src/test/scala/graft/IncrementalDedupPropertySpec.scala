@@ -15,43 +15,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class IncrementalDedupPropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Reference semantics, driver-side: distinct word-3-shingle sets of the
-    * lowercased text (whole text as one shingle when under 3 words — the
-    * hashedShingles contract), exact Jaccard, smaller-id-partner rule.
-    */
-  private def referenceSurvivors(docs: Seq[(Long, String)], threshold: Double): Set[Long] = {
-    def shingles(t: String): Set[String] = {
-      val w = t.toLowerCase.split(" ", -1)
-      if (w.length < 3) Set(w.mkString(" "))
-      else w.sliding(3).map(_.mkString(" ")).toSet
-    }
-    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
-    docs.map(_._1).filter { b =>
-      !docs.map(_._1).exists { a =>
-        a < b && {
-          val (sa, sb) = (sh(a), sh(b))
-          val inter = (sa & sb).size.toDouble
-          inter / (sa.size + sb.size - inter) >= threshold
-        }
-      }
-    }.toSet
-  }
+  /** Reference semantics, driver-side (shared: [[DedupReference]]). */
+  private def referenceSurvivors(docs: Seq[(Long, String)], threshold: Double): Set[Long] =
+    DedupReference.survivors(docs, threshold)
 
   /** Corpus-wide verified pair set (doc_a < doc_b, Jaccard ≥ threshold). */
-  private def referencePairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long)] = {
-    def shingles(t: String): Set[String] = {
-      val w = t.toLowerCase.split(" ", -1)
-      if (w.length < 3) Set(w.mkString(" ")) else w.sliding(3).map(_.mkString(" ")).toSet
-    }
-    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
-    val ids = docs.map(_._1)
-    (for {
-      a <- ids; b <- ids if a < b
-      (sa, sb) = (sh(a), sh(b))
-      inter = (sa & sb).size.toDouble
-      if inter / (sa.size + sb.size - inter) >= threshold
-    } yield (a, b)).toSet
-  }
+  private def referencePairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long)] =
+    DedupReference.pairs(docs, threshold)
 
   private val genCase: Gen[(Seq[(Long, String)], Int)] = for {
     n <- Gen.choose(30, 70)

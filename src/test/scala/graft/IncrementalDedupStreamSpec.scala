@@ -18,23 +18,8 @@ import java.nio.file.{Files, Paths}
 class IncrementalDedupStreamSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Same reference semantics as IncrementalDedupPropertySpec. */
-  private def referenceSurvivors(docs: Seq[(Long, String)], threshold: Double): Set[Long] = {
-    def shingles(t: String): Set[String] = {
-      val w = t.toLowerCase.split(" ", -1)
-      if (w.length < 3) Set(w.mkString(" ")) else w.sliding(3).map(_.mkString(" ")).toSet
-    }
-    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
-    docs.map(_._1).filter { b =>
-      !docs.map(_._1).exists { a =>
-        a < b && {
-          val (sa, sb) = (sh(a), sh(b))
-          val inter = (sa & sb).size.toDouble
-          inter / (sa.size + sb.size - inter) >= threshold
-        }
-      }
-    }.toSet
-  }
+  private def referenceSurvivors(docs: Seq[(Long, String)], threshold: Double): Set[Long] =
+    DedupReference.survivors(docs, threshold)
 
   /** Tiny fixed corpus with planted near-dups across the batch boundaries:
     * doc 12 duplicates doc 3 (cross-file), doc 21 duplicates doc 12
