@@ -170,20 +170,14 @@ object VectorOps {
   def annIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding").as("v"))
     val cent = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // Rank the centroid set for every vector once; rn=1 is the cell
-    // assignment (the inverted file), rn<=nprobe for queries is the probe set.
-    val ranked = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(cosine(col("embedding"), col("cv")), 4).as("ccos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val ranked = centroidRank(e, cent)
     val invFile = ranked.filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id").as("nid"), col("embedding").as("nv"))
+      .select(col("cid"), col("vec_id").as("nid"), col("v").as("nv"))
     val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
     val scored = invFile.join(probes, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -192,6 +186,39 @@ object VectorOps {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "nid", "cos")
       .orderBy("qid", "nid")
+  }
+
+  /** Every vector's centroid ranking — the shared build/probe stage of the
+    * IVF index: rn=1 is the cell assignment (the inverted file), rn<=nprobe
+    * on the query side is the probe set. One broadcast of the tiny centroid
+    * frame × one corpus scan.
+    */
+  private def centroidRank(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.DotProduct.register(vectors.sparkSession)
+    vectors.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(cosine(col("v"), col("cv")), 4).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+  }
+
+  /** IVF candidate pairs `(qid, nid)` for an arbitrary `(vec_id, v)` frame
+    * and `(cid, cv)` centroid frame — the probing stage without the re-rank,
+    * exposed so candidate-count scaling can be measured per (nlist, nprobe)
+    * config (BandingScaleSpec): per query, candidates ≈ the probed cells'
+    * population ≈ n·nprobe/nlist when cells are balanced — linear in n, a
+    * fixed fraction of the brute-force scan.
+    */
+  def ivfCandidates(vectors: DataFrame, centroids: DataFrame,
+                    nQueries: Int, nprobe: Int): DataFrame = {
+    val ranked = centroidRank(vectors, centroids)
+    val inv = ranked.filter(col("rn") === 1).select(col("cid"), col("vec_id").as("nid"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    inv.join(probes, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid")
   }
 
   /** ANN via random-hyperplane LSH: candidates share a bucket signature in

@@ -162,4 +162,35 @@ class BandingScaleSpec extends AnyFunSuite {
     assert(r4 > 0.95, s"16-plane/4-table recall too low: $r4")
     assert(r8 >= r4 && r8 > 0.99, s"doubling tables must recover recall: $r4 -> $r8")
   }
+
+  test("IVF: candidates per query are a ~nprobe/nlist corpus fraction; growth linear in n") {
+    val nQueries = 20
+    // Strided centroid sample (one per id range) — the balanced-cells shape
+    // a trained coarse quantizer approximates; annIvf's first-nlist default
+    // is the oracle-friendly special case of the same machinery.
+    def count(n: Int, nlist: Int, nprobe: Int): Long = {
+      val vecs = vecCorpus(n).withColumnRenamed("nv", "v")
+      val stride = n / nlist
+      val cents = vecs.filter(col("vec_id") % stride === 0 && col("vec_id") < n)
+        .select((col("vec_id") / stride).cast("long").as("cid"), col("v").as("cv"))
+      VectorOps.ivfCandidates(vecs, cents, nQueries, nprobe).count()
+    }
+    val (n1, n2) = (2000, 8000)
+    val c1 = count(n1, 16, 4); val c2 = count(n2, 16, 4)
+    val brute1 = nQueries.toLong * (n1 - 1); val brute2 = nQueries.toLong * (n2 - 1)
+    val f1 = c1.toDouble / brute1; val f2 = c2.toDouble / brute2
+    val g = c2.toDouble / c1
+    info(f"nlist=16/nprobe=4: n=$n1 -> $c1%,d cands (${f1 * 100}%.1f%% of brute force), " +
+      f"n=$n2 -> $c2%,d (${f2 * 100}%.1f%%), growth $g%.1fx")
+    // Probing replaces the full per-query scan with a bounded corpus
+    // fraction (nprobe/nlist = 25% nominal; imbalance tolerance 2x)…
+    assert(f1 < 0.5 && f2 < 0.5, s"candidates not bounded by probing: $f1, $f2")
+    // …and candidate growth is LINEAR in n (4x corpus -> ~4x candidates),
+    // never the quadratic growth of a saturated banding key.
+    assert(g < 6.0, s"expected ~4x linear candidate growth, got $g")
+    // More cells at fixed nprobe cut the probed fraction proportionally.
+    val c1w = count(n1, 64, 4)
+    info(f"nlist=64/nprobe=4: n=$n1 -> $c1w%,d cands (${c1w * 100.0 / brute1}%.1f%% of brute force)")
+    assert(c1w * 2 < c1, s"quadrupling nlist must cut candidates ($c1 -> $c1w)")
+  }
 }
