@@ -240,8 +240,59 @@ object IncrementalDedup {
 
   /** The accumulated verified near-dup pair log `(doc_a, doc_b)` — equal to
     * the corpus-wide verified pair set once all batches are applied (each
-    * pair lands exactly once, in its larger member's batch).
+    * pair lands exactly once, in its larger member's batch). Duplicate rows
+    * are tolerated by every consumer (the pair set feeds connected
+    * components, where repeated edges are harmless) — which is what lets
+    * [[compactPairLog]] stay crash-tolerant without a commit protocol.
     */
   def dupPairs(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(dupPairsPath(cfg)).select("doc_a", "doc_b")
+
+  /** Fold all pair-log batch dirs ≤ `upToBatch` into the single
+    * `batch=<upToBatch>` dir and delete the older ones — a long-running
+    * ingest writes one small dir per batch, and without periodic folding
+    * the cluster-maintenance read opens O(batches) directories.
+    *
+    * Two-phase and crash-tolerant: phase 1 writes the folded union to a
+    * hidden staging dir (invisible to partition discovery; its `_SUCCESS`
+    * marker is the completion flag), phase 2 deletes the source dirs and
+    * renames staging into place. A re-run after ANY crash converges: a
+    * partial staging dir (no `_SUCCESS`) is discarded and rebuilt from the
+    * still-intact sources; a complete one skips the rebuild and finishes
+    * the swap. Batches newer than `upToBatch` are untouched, so compaction
+    * can run beside the NEXT applyBatch — the same append/compact
+    * separation the icelite signature tables use.
+    *
+    * `outputPartitions` sizes the folded dir (default 1 suits the test
+    * corpus; a 10⁹-doc log would keep it proportional to log volume).
+    */
+  def compactPairLog(spark: SparkSession, cfg: Config, upToBatch: Long,
+                     outputPartitions: Int = 1): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dupPairsPath(cfg))
+    if (!Files.exists(root)) return
+    def rmrf(p: Path): Unit = if (Files.exists(p))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f)))
+    def listOlds(): List[Path] =
+      scala.util.Using.resource(Files.list(root))(_.iterator().asScala.toList)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("batch=") &&
+            scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= upToBatch)
+        }
+    val staged = root.resolve(".compact-staging")
+    if (!Files.exists(staged.resolve("_SUCCESS"))) {
+      rmrf(staged) // partial staging from a crashed phase 1
+      val olds = listOlds()
+      if (olds.size <= 1) return // already folded (or nothing to fold)
+      spark.read.parquet(olds.map(_.toString): _*).select("doc_a", "doc_b")
+        .coalesce(outputPartitions)
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    }
+    // Phase 2 — also the recovery path when phase 1 completed before a crash.
+    listOlds().foreach(rmrf)
+    Files.move(staged, root.resolve(s"batch=$upToBatch"))
+  }
 }

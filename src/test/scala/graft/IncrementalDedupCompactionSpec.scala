@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.IncrementalDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Pair-log folding: a long ingest writes one `duppairs/batch=<id>` dir per
+  * batch; `compactPairLog` folds a prefix into one dir so the cluster-
+  * maintenance read opens O(compactions) directories, not O(batches).
+  * Covers the happy path and BOTH crash-recovery branches of the two-phase
+  * swap (partial staging rebuilt; completed staging finishes the swap).
+  */
+class IncrementalDedupCompactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val corpus: Seq[(Long, String)] = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta",
+    2L -> "one two three four five six seven",
+    3L -> "red green blue cyan magenta yellow black",
+    11L -> "red green blue cyan magenta yellow black",
+    12L -> "lorem ipsum dolor sit amet consectetur",
+    21L -> "alpha beta gamma delta epsilon zeta",
+    22L -> "red green blue cyan magenta yellow black")
+
+  private def applyAll(cfg: IncrementalDedup.Config): Unit = {
+    import spark.implicits._
+    Seq(corpus.filter(_._1 < 10), corpus.filter(d => d._1 >= 10 && d._1 < 20),
+      corpus.filter(_._1 >= 20)).zipWithIndex.foreach { case (b, i) =>
+      IncrementalDedup.applyBatch(spark, b.toDF("doc_id", "text"), i.toLong, cfg)
+    }
+  }
+
+  private def pairSet(cfg: IncrementalDedup.Config): Set[(Long, Long)] = {
+    import spark.implicits._
+    IncrementalDedup.dupPairs(spark, cfg).distinct().as[(Long, Long)].collect().toSet
+  }
+
+  private def batchDirs(cfg: IncrementalDedup.Config): Set[String] = {
+    val root = Paths.get(s"${cfg.stateDir}/duppairs")
+    scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSet)
+  }
+
+  test("folding a batch prefix preserves the pair set and bounds the dir count") {
+    val cfg = IncrementalDedup.Config(TestSpark.freshDir("incdedup-compact"), numBuckets = 4)
+    applyAll(cfg)
+    val want = DedupReference.pairs(corpus, cfg.threshold)
+    assert(pairSet(cfg) == want)
+    assert(batchDirs(cfg) == Set("batch=0", "batch=1", "batch=2"))
+
+    IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 1)
+    assert(batchDirs(cfg) == Set("batch=1", "batch=2"), "prefix not folded")
+    assert(pairSet(cfg) == want, "folding changed the pair set")
+
+    // Idempotent: a re-run with nothing left to fold is a no-op.
+    IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 1)
+    assert(batchDirs(cfg) == Set("batch=1", "batch=2") && pairSet(cfg) == want)
+  }
+
+  test("crash recovery: partial staging is rebuilt; completed staging finishes the swap") {
+    val cfg = IncrementalDedup.Config(TestSpark.freshDir("incdedup-compact-crash"), numBuckets = 4)
+    applyAll(cfg)
+    val want = DedupReference.pairs(corpus, cfg.threshold)
+    val root = Paths.get(s"${cfg.stateDir}/duppairs")
+
+    // Crash mid-phase-1: a staging dir without _SUCCESS must be discarded
+    // and rebuilt from the intact sources.
+    val staged = root.resolve(".compact-staging")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
+    IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 2)
+    assert(batchDirs(cfg) == Set("batch=2") && pairSet(cfg) == want,
+      "partial staging not recovered")
+
+    // Crash between phase 1 and 2: staging complete (_SUCCESS present),
+    // sources still on disk. The re-run must skip the rebuild and finish
+    // the swap without changing the pair set. Simulated by copying the
+    // folded dir to staging (it IS a completed phase-1 output for upTo=2).
+    Files.createDirectories(staged)
+    scala.util.Using.resource(Files.list(root.resolve("batch=2")))(
+      _.iterator().asScala.foreach(f =>
+        Files.copy(f, staged.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)))
+    assert(Files.exists(staged.resolve("_SUCCESS")))
+    IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 2)
+    assert(batchDirs(cfg) == Set("batch=2") && pairSet(cfg) == want,
+      "completed-staging recovery diverged")
+  }
+}
