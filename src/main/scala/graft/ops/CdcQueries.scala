@@ -250,6 +250,10 @@ object CdcQueries {
         batches.zipWithIndex.foreach { case (b, i) =>
           IncrementalDedup.applyBatch(spark, b, i.toLong, cfg)
         }
+        // Fold the first two batches' pair-log dirs — the production cadence
+        // (compact a prefix, leave the tail) — so the downstream
+        // dedup_cluster_inc oracle row certifies the folded layout too.
+        IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 1)
         cfg
       })
     }
