@@ -166,6 +166,12 @@ object VectorOps {
     * identical assignment + probe + re-rank algorithm). All similarity
     * comparisons order by `round(cos, 4)` with id tie-breaks — the same
     * cross-engine float discipline as [[cosineTopK]].
+    *
+    * Conscious constant-factor trade: cosines here are computed from the RAW
+    * vectors (3 dot products/pair) so the oracle's `list_cosine_similarity`
+    * reproduces the rounded values bit-for-bit; a production inverted file
+    * would store pre-normalized vectors (1 dot/pair — the [[dedupEmbedding]]
+    * normalize-once pattern) at the cost of a divergent float path.
     */
   def annIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
