@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{BinaryDecoders, JsonSchemaRender, StatusRange}
-import graft.ops.{CdcQueries, GraphOps, MultimodalOps, PackOps, PageOps, TextOps, VectorOps}
+import graft.ops.{CdcQueries, CurateOps, GraphOps, MultimodalOps, PackOps, PageOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -226,6 +226,13 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "seq_pack" -> ((s, d) => PackOps.seqPack(s, d)),
+
+    // ---- corpus curation: decontamination / repetition / PII / sampling ----
+    "decontaminate" -> ((s, d) => CurateOps.decontaminate(s, d)),
+    "rep_stats" -> ((s, d) => CurateOps.repetitionStats(s, d)),
+    "pii_scrub" -> ((s, d) => CurateOps.piiScrub(s, d)),
+    "sample_stratified" -> ((s, d) => CurateOps.sampleStratified(s, d)),
+    "curate_pipeline" -> ((s, d) => CurateOps.curatePipeline(s, d)),
 
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
@@ -497,6 +504,137 @@ object SparkEntry {
         |       CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
         |       CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) AS pack_last
         |FROM o ORDER BY doc_id""".stripMargin,
+    // Benchmark decontamination: 5-gram overlap vs the derived benchmark set
+    // (words 3..10 of every doc_id % 40 == 0 doc). Same shingle window
+    // semantics as CurateOps.decontaminate / TextOps.shingles.
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |b AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |        range(0, greatest(len(w[3:10]) - 5, 0) + 1),
+        |        i -> array_to_string((w[3:10])[(i+1):(i+5)], ' ')))) AS gram
+        |      FROM w WHERE doc_id % 40 = 0),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(0, greatest(len(w) - 5, 0) + 1),
+        |        i -> array_to_string(w[(i+1):(i+5)], ' ')))) AS gram
+        |      FROM w)
+        |SELECT tg.doc_id, count(*) AS n_hits
+        |FROM tg JOIN b USING (gram)
+        |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher repetition metrics over the planted-repeat corpus (first three
+    // words repeated 12x at doc_id + 500000 for doc_id % 50 == 0).
+    "rep_stats" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |         array_to_string(flatten(list_transform(range(0, 12),
+        |           i -> string_split(text, ' ')[1:3])), ' ')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+        |r AS (SELECT doc_id, len(w) AS n_words,
+        |        round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_frac
+        |      FROM w),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+        |        i -> array_to_string(w[(i+1):(i+2)], ' '))) AS gram FROM w),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot,
+        |        sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c FROM c GROUP BY 1)
+        |SELECT r.doc_id, r.n_words, r.dup_word_frac,
+        |       round(a.top_c * 1.0 / a.tot, 4) AS top2_share,
+        |       round(a.dup_c * 1.0 / a.tot, 4) AS dup2_frac,
+        |       (round(a.top_c * 1.0 / a.tot, 4) <= 0.18 AND
+        |        round(a.dup_c * 1.0 / a.tot, 4) <= 0.5) AS keep
+        |FROM r JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // PII scrub over the planted-PII corpus; emails redacted before the
+    // phone pass in both engines.
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |              '@example.com for details'
+        |         ELSE text END ||
+        |    CASE WHEN doc_id % 15 = 0
+        |         THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, text,
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                       '<EMAIL>', 'g') AS de
+        |      FROM p)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |         AS n_emails,
+        |       len(regexp_extract_all(de, '\d{3}-\d{4}')) AS n_phones,
+        |       regexp_replace(de, '\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Deterministic stratified sample: first 16 bits of md5('smp-'||doc_id)
+    // under the per-language rate (fractions of 2^16).
+    "sample_stratified" -> {
+      val hexpr = "md5('smp-' || CAST(doc_id AS VARCHAR))"
+      val h16 = s"(${nib(hexpr, 1)}*4096 + ${nib(hexpr, 2)}*256 + " +
+        s"${nib(hexpr, 3)}*16 + ${nib(hexpr, 4)})"
+      val rateCase = graft.ops.CurateOps.StratumRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $h16 < CASE lang $rateCase ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
+    // The five-stage curation chain over the planted-dup corpus: near-dup
+    // drop (smaller-id ≥0.5-Jaccard partner), decontamination (benchmark
+    // from the BASE table only), Gopher repetition keep, PII scrub, and the
+    // stratified sample — one CTE stack, identical stage rules. Planted-dup
+    // rows inherit their source doc's lang (doc_id % 100000).
+    "curate_pipeline" -> {
+      val hexpr = "md5('smp-' || CAST(c0.doc_id AS VARCHAR))"
+      val h16 = s"(${nib(hexpr, 1)}*4096 + ${nib(hexpr, 2)}*256 + " +
+        s"${nib(hexpr, 3)}*16 + ${nib(hexpr, 4)})"
+      val rateCase = graft.ops.CurateOps.StratumRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH $corpusShingleSql,
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+         |b AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |        range(0, greatest(len(w[3:10]) - 5, 0) + 1),
+         |        i -> array_to_string((w[3:10])[(i+1):(i+5)], ' ')))) AS gram
+         |      FROM w WHERE doc_id % 40 = 0 AND doc_id < 100000),
+         |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(0, greatest(len(w) - 5, 0) + 1),
+         |        i -> array_to_string(w[(i+1):(i+5)], ' ')))) AS gram
+         |      FROM w),
+         |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN b USING (gram)),
+         |g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+         |        i -> array_to_string(w[(i+1):(i+2)], ' '))) AS gram FROM w),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot,
+         |        sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c FROM c GROUP BY 1),
+         |keep AS (SELECT doc_id FROM a
+         |         WHERE round(top_c * 1.0 / tot, 4) <= 0.18
+         |           AND round(dup_c * 1.0 / tot, 4) <= 0.5),
+         |piid AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0
+         |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |              '@example.com for details'
+         |         ELSE text END ||
+         |    CASE WHEN doc_id % 15 = 0
+         |         THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END AS text
+         |  FROM corpus),
+         |scr AS (SELECT doc_id,
+         |        regexp_replace(regexp_replace(text,
+         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |          '\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed
+         |      FROM piid)
+         |SELECT c0.doc_id, d.lang, md5(s.scrubbed) AS fp
+         |FROM corpus c0
+         |JOIN documents d ON d.doc_id = c0.doc_id % 100000
+         |JOIN scr s ON s.doc_id = c0.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM jac
+         |                  WHERE jac.doc_b = c0.doc_id AND jac.jaccard >= 0.5)
+         |  AND c0.doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND c0.doc_id IN (SELECT doc_id FROM keep)
+         |  AND $h16 < CASE d.lang $rateCase ELSE 0 END
+         |ORDER BY c0.doc_id""".stripMargin
+    },
     "dedup_simhash" -> simhashOracleSql,
     // Identical brute-force oracle on purpose: a green row here certifies
     // the 16-bit-block + multi-index-probe banding finds the SAME exact
