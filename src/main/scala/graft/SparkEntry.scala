@@ -30,6 +30,7 @@ object SparkEntry {
     "cdc_dead_letter" -> ((s, d) => CdcQueries.deadLetterSummary(s, d)),
     "cdc_replay_audit" -> ((s, d) => CdcQueries.replayAudit(s, d)),
     "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
+    "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
 
     // ---- aggregations (§2.4 A1-A6) ----
@@ -803,6 +804,32 @@ object SparkEntry {
         |  FROM feed)
         |SELECT conv_id, turn_idx, role, text, "value"
         |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Net change set since the phase-1 snapshot (events with lsn ≤ half):
+    // for every key phase 2 touched, its final LWW winner; net deletes keep
+    // op='D' with null payload (tombstones carry no payload in the table).
+    "cdc_changes_since" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |cutoff AS (
+        |  SELECT max(lsn) AS l FROM feed
+        |  WHERE lsn <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)),
+        |ranked AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f, cutoff c WHERE f.lsn > c.l)
+        |SELECT conv_id, turn_idx, op,
+        |       CASE WHEN op = 'D' THEN NULL ELSE role END AS role,
+        |       CASE WHEN op = 'D' THEN NULL ELSE text END AS text,
+        |       CASE WHEN op = 'D' THEN NULL ELSE "value" END AS "value",
+        |       lsn
+        |FROM ranked WHERE rn = 1
         |ORDER BY conv_id, turn_idx""".stripMargin,
     "cdc_lww_window" ->
       """WITH feed AS (

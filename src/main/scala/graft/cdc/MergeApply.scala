@@ -337,7 +337,7 @@ object MergeApply {
           ParquetStats.bucketDirStats(hconf, s"$tablePath/$deltaDir", "conv_id").toSeq
             .map { case (b, st) =>
               BucketEntry(s"$deltaDir/${IceLite.BucketCol}=$b", b, st.rows, newSchemaV,
-                st.minKey, st.maxKey)
+                st.minKey, st.maxKey, st.minLsn, st.maxLsn)
             }
         } else Nil
         val tWrite = ms(tWrite0)
@@ -367,7 +367,7 @@ object MergeApply {
           val entries = ParquetStats.bucketDirStats(hconf, s"$tablePath/$baseDir", "conv_id").toSeq
             .map { case (b, st) =>
               BucketEntry(s"$baseDir/${IceLite.BucketCol}=$b", b, st.rows, newSchemaV,
-                st.minKey, st.maxKey)
+                st.minKey, st.maxKey, st.minLsn, st.maxLsn)
             }
           (entries, entries.map(_.rows).sum)
         } else (Nil, 0L)
@@ -380,7 +380,8 @@ object MergeApply {
 
         val newSnap = snap.copy(version = newVersion, schemaV = newSchemaV,
           schemas = schemas, buckets = keptBases ++ newBaseEntries,
-          deltas = keptDeltas ++ newDeltaEntries).withBatch(batchId)
+          deltas = keptDeltas ++ newDeltaEntries,
+          maxLsn = math.max(snap.maxLsn, maxLsn)).withBatch(batchId)
         IceLite.commitSnapshot(tablePath, newSnap)
 
         val res = ApplyResult(batchId, committed = true, newVersion, events, appliedCnt,

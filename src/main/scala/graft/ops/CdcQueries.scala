@@ -159,6 +159,41 @@ object CdcQueries {
           <= col("durationMs")).cast("int")).cast("boolean").as("timings_consistent"))
   }
 
+  /** Incremental table consumption as a driver query ([[IceLite.changesSince]]):
+    * the events feed staged in two LSN-ordered phases (event_id ≤ half, then
+    * the rest) through one table; the output is the NET change set between
+    * the phase-1 snapshot and the final one — for every key phase 2 touched,
+    * its final LWW winner, deletes included as `op='D'` rows with null
+    * payload. The LSN-ordered split makes the staged replay honor
+    * changesSince's monotone-watermark contract, so the DuckDB oracle
+    * recomputes the identical set from events.parquet alone: the window
+    * winner per key over events with `event_id > max(phase-1 event_id)`.
+    * The manifest-level zone-map pruning (the read opens ONLY post-phase-1
+    * delta files, no phase-1 file, no base) is asserted in IceLiteSpec.
+    */
+  def changesSinceUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("changes", sfDir)
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(s"$base/table").version
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    IceLite.changesSince(spark, s"$base/table", vA)
+      .select(col("conv_id"), col("turn_idx"),
+        when(col(IceLite.DeletedCol), "D").otherwise("U").as("op"),
+        col("role"), col("text"), col("value"), col(IceLite.LsnCol).as("lsn"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** St7 hot-key skew as a driver query: the events feed remapped so every
     * tenth user's events collapse onto ONE conversation ("conv-hot" — ~10%
     * of the feed, hundreds of times any other key's volume, all hashing to

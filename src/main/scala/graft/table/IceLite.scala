@@ -51,8 +51,17 @@ object IceLite {
   val BucketCol = "_bucket"
   val KeyCols: Seq[String] = Seq("conv_id", "turn_idx")
 
+  /** `minLsn`/`maxLsn` are the entry's LSN zone map (from the parquet
+    * footers at write time, [[ParquetStats]]): the range of `_lsn` values
+    * its rows span. Incremental readers ([[changesSince]]) skip every entry
+    * whose `maxLsn` is at or below their cutoff without opening a file —
+    * the manifest-level stats pruning Iceberg/Delta do with column bounds.
+    * Entries from pre-stats snapshots default to the unknown range
+    * (Long.MinValue, Long.MaxValue): never skipped, never wrong.
+    */
   case class BucketEntry(dir: String, bucket: Int, rows: Long, schemaV: Int,
-                         minKey: String, maxKey: String)
+                         minKey: String, maxKey: String,
+                         minLsn: Long = Long.MinValue, maxLsn: Long = Long.MaxValue)
 
   /** `buckets` = compacted base files; `deltas` = merge-on-read delta files
     * appended since each bucket's last compaction (LWW-merged with the base
@@ -64,13 +73,20 @@ object IceLite {
     * Structured Streaming epochs are sequential, so each commit advances the
     * watermark and the window drains). At 10^10 events the snapshot stays
     * O(buckets) instead of growing one long per epoch forever.
+    *
+    * `maxLsn` is the table's LSN high-watermark: the highest `_lsn` any
+    * committed batch applied. It is the cutoff [[changesSince]] readers use
+    * (changes since snapshot vA = stored rows with `_lsn > vA.maxLsn`).
+    * Pre-stats snapshots default to Long.MinValue — "everything changed",
+    * the conservative reading.
     */
   case class Snapshot(version: Int, schemaV: Int, numBuckets: Int,
                       schemas: Map[Int, StructType],
                       buckets: Seq[BucketEntry],
                       committedBatches: Set[Long],
                       deltas: Seq[BucketEntry] = Nil,
-                      batchWatermark: Long = -1L) {
+                      batchWatermark: Long = -1L,
+                      maxLsn: Long = Long.MinValue) {
     /** Exactly-once check: has this epoch already committed? */
     def hasBatch(id: Long): Boolean = id <= batchWatermark || committedBatches.contains(id)
     /** Record an epoch: add to the window, then advance the watermark over
@@ -136,20 +152,21 @@ object IceLite {
     val schemas = root.get("schemas").fields().asScala.map { e =>
       e.getKey.toInt -> DataType.fromJson(e.getValue.asText()).asInstanceOf[StructType]
     }.toMap
-    val buckets = root.get("buckets").elements().asScala.map { b =>
+    def entry(b: com.fasterxml.jackson.databind.JsonNode): BucketEntry =
       BucketEntry(b.get("dir").asText(), b.get("bucket").asInt(), b.get("rows").asLong(),
-        b.get("schemaV").asInt(), b.get("minKey").asText(), b.get("maxKey").asText())
-    }.toSeq
+        b.get("schemaV").asInt(), b.get("minKey").asText(), b.get("maxKey").asText(),
+        if (b.has("minLsn")) b.get("minLsn").asLong() else Long.MinValue,
+        if (b.has("maxLsn")) b.get("maxLsn").asLong() else Long.MaxValue)
+    val buckets = root.get("buckets").elements().asScala.map(entry).toSeq
     val committed = root.get("committedBatches").elements().asScala.map(_.asLong()).toSet
     val watermark = if (root.has("batchWatermark")) root.get("batchWatermark").asLong() else -1L
     val deltas =
-      if (root.has("deltas")) root.get("deltas").elements().asScala.map { b =>
-        BucketEntry(b.get("dir").asText(), b.get("bucket").asInt(), b.get("rows").asLong(),
-          b.get("schemaV").asInt(), b.get("minKey").asText(), b.get("maxKey").asText())
-      }.toSeq
+      if (root.has("deltas")) root.get("deltas").elements().asScala.map(entry).toSeq
       else Nil
+    val tableMaxLsn = if (root.has("maxLsn")) root.get("maxLsn").asLong() else Long.MinValue
     Snapshot(root.get("version").asInt(), root.get("schemaV").asInt(),
-      root.get("numBuckets").asInt(), schemas, buckets, committed, deltas, watermark)
+      root.get("numBuckets").asInt(), schemas, buckets, committed, deltas, watermark,
+      tableMaxLsn)
   }
 
   // ---------------------------------------------------------------- commit
@@ -281,11 +298,17 @@ object IceLite {
         val o = bn.addObject()
         o.put("dir", b.dir); o.put("bucket", b.bucket); o.put("rows", b.rows)
         o.put("schemaV", b.schemaV); o.put("minKey", b.minKey); o.put("maxKey", b.maxKey)
+        // The unknown range is elided, not serialized: a round-trip of a
+        // pre-stats entry stays pre-stats instead of pinning sentinels.
+        if (b.minLsn != Long.MinValue || b.maxLsn != Long.MaxValue) {
+          o.put("minLsn", b.minLsn); o.put("maxLsn", b.maxLsn)
+        }
       }
     }
     putEntries("buckets", snap.buckets)
     putEntries("deltas", snap.deltas)
     root.put("batchWatermark", snap.batchWatermark)
+    if (snap.maxLsn != Long.MinValue) root.put("maxLsn", snap.maxLsn)
     val cn = root.putArray("committedBatches")
     snap.committedBatches.toSeq.sorted.foreach(cn.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
@@ -374,7 +397,8 @@ object IceLite {
     val hconf = spark.sessionState.newHadoopConf()
     val entries = ParquetStats.bucketDirStats(hconf, s"$path/$baseDir", "conv_id").toSeq
       .map { case (b, st) =>
-        BucketEntry(s"$baseDir/$BucketCol=$b", b, st.rows, snap.schemaV, st.minKey, st.maxKey)
+        BucketEntry(s"$baseDir/$BucketCol=$b", b, st.rows, snap.schemaV, st.minKey, st.maxKey,
+          st.minLsn, st.maxLsn)
       }
     val newSnap = snap.copy(version = newVersion, numBuckets = newNumBuckets,
       buckets = entries, deltas = Nil)
@@ -447,6 +471,46 @@ object IceLite {
     readStored(spark, path, snap)
       .filter(!col(DeletedCol))
       .select(publicCols.toIndexedSeq.map(col): _*)
+  }
+
+  // --------------------------------------------------------- changes since
+
+  /** Incremental consumption (the Delta-CDF / Iceberg-incremental-read
+    * analogue): the NET change per key since snapshot `sinceVersion` — for
+    * every key touched after vA's LSN high-watermark, the current LWW winner
+    * (internal columns included: `_deleted=true` rows are net deletes).
+    * A downstream consumer (a derived table, an index, a cache) applies this
+    * frame instead of re-reading the whole table.
+    *
+    * Cost is O(changed data), not O(table): the per-entry LSN zone maps
+    * ([[BucketEntry.minLsn]]) skip — at the MANIFEST level, no file opened —
+    * every base and delta entry whose rows all predate the cutoff. Delta
+    * entries are per-batch, so they prune exactly; a bucket compacted since
+    * vA folds old rows into its new base, and only that bucket pays a scan
+    * (the `_lsn > cutoff` filter is pushed to parquet and row groups prune
+    * on the same footer stats). Between compactions — the overwhelming
+    * majority of batches — an incremental read opens only post-vA delta
+    * files.
+    *
+    * Contract: exact when LSN assignment is monotone with commit order at
+    * key granularity (the transaction-log property — every post-vA winner
+    * carries `_lsn > vA.maxLsn`). An out-of-order row below the cutoff never
+    * appears (if it lost arbitration the state didn't change and that is
+    * correct; if such a row WON, this read misses it — the same restriction
+    * as Iceberg's append-only incremental scan; exact CDC under arbitrary
+    * LSN disorder requires per-commit change files, Delta CDF's trade).
+    * Pre-stats snapshots have `maxLsn = Long.MinValue`, degrading to a full
+    * LWW diff — conservative, never wrong.
+    */
+  def changesSince(spark: SparkSession, path: String, sinceVersion: Int): DataFrame = {
+    val cur = load(path)
+    val since = loadVersion(path, f"v$sinceVersion%05d.json")
+    val cutoff = since.maxLsn
+    val candidates = (cur.buckets ++ cur.deltas).filter(_.maxLsn > cutoff)
+    readEntries(spark, path, cur, candidates)
+      .map(df => lwwReduce(df.filter(col(LsnCol) > cutoff)))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema))
   }
 
   /** Cast/extend a DataFrame written under an older schema to `target`:

@@ -16,7 +16,13 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetStats {
 
-  case class DirStats(rows: Long, minKey: String, maxKey: String)
+  /** `minLsn`/`maxLsn` are the `_lsn` zone map of the directory (the LSN
+    * range its rows span). When the column's footer statistics are absent
+    * the range degrades to (Long.MinValue, Long.MaxValue) — "unknown, never
+    * skip" — so stats-based pruning stays conservative, never wrong.
+    */
+  case class DirStats(rows: Long, minKey: String, maxKey: String,
+                      minLsn: Long = Long.MinValue, maxLsn: Long = Long.MaxValue)
 
   /** Stats of one bucket directory (all `*.parquet` files under it). */
   def dirStats(conf: Configuration, dir: String, keyColumn: String): DirStats = {
@@ -27,6 +33,9 @@ object ParquetStats {
     var rows = 0L
     var minK: String = null
     var maxK: String = null
+    var minL = Long.MaxValue
+    var maxL = Long.MinValue
+    var lsnSeen = true // flips false if ANY block lacks _lsn stats → unknown
     files.foreach { st =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try {
@@ -46,10 +55,25 @@ object ParquetStats {
               }
             }
           }
+          block.getColumns.asScala.find(_.getPath.toDotString == IceLite.LsnCol) match {
+            case Some(col) =>
+              val s = col.getStatistics
+              if (s != null && !s.isEmpty && s.hasNonNullValue)
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    if (mn < minL) minL = mn
+                    if (mx > maxL) maxL = mx
+                  case _ => lsnSeen = false
+                }
+              else lsnSeen = false
+            case None => lsnSeen = false
+          }
         }
       } finally reader.close()
     }
-    DirStats(rows, if (minK == null) "" else minK, if (maxK == null) "" else maxK)
+    val (lo, hi) = if (lsnSeen && minL != Long.MaxValue) (minL, maxL)
+                   else (Long.MinValue, Long.MaxValue)
+    DirStats(rows, if (minK == null) "" else minK, if (maxK == null) "" else maxK, lo, hi)
   }
 
   /** Stats for every `_bucket=N` subdirectory of a partitioned write. */

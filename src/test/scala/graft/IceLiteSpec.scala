@@ -174,6 +174,54 @@ class IceLiteSpec extends AnyFunSuite {
     assert(rows(1).getString(0) == "c2" && rows(1).getLong(4) == 42L)
   }
 
+  test("changesSince: net per-key changes; LSN zone maps skip every pre-cutoff file") {
+    val dir = TestSpark.freshDir("icelite-changes")
+    IceLite.create(dir, payload, numBuckets = 8)
+    val b0 = (0 until 32).map(i =>
+      s"""{"op":"U","lsn":${i + 1},"conv_id":"c-$i","turn_idx":0,"after":{"role":"r","text":"t$i"}}""")
+    graft.cdc.MergeApply.applyRaw(spark, dir, b0.toDF("value"), 0L)
+    val vA = IceLite.load(dir).version
+    assert(IceLite.load(dir).maxLsn == 32L) // high-watermark stamped at commit
+
+    val b1 = Seq(
+      """{"op":"U","lsn":33,"conv_id":"c-1","turn_idx":0,"after":{"role":"r","text":"updated"}}""",
+      """{"op":"D","lsn":34,"conv_id":"c-2","turn_idx":0}""",
+      """{"op":"U","lsn":35,"conv_id":"c-100","turn_idx":0,"after":{"role":"r","text":"new"}}""")
+    graft.cdc.MergeApply.applyRaw(spark, dir, b1.toDF("value"), 1L)
+
+    // Entry zone maps are exact per batch: v1 deltas span lsn 1..32, v2 33..35.
+    val snap = IceLite.load(dir)
+    assert(snap.maxLsn == 35L)
+    val (v1e, v2e) = snap.deltas.partition(_.dir.startsWith("data/v00001"))
+    assert(v1e.nonEmpty && v1e.forall(e => e.minLsn >= 1L && e.maxLsn <= 32L))
+    assert(v2e.nonEmpty && v2e.forall(e => e.minLsn >= 33L && e.maxLsn <= 35L))
+
+    val ch = IceLite.changesSince(spark, dir, vA)
+    // Manifest-level pruning: no batch-0 file is even opened.
+    assert(ch.inputFiles.nonEmpty && ch.inputFiles.forall(_.contains("v00002-delta")),
+      s"zone maps must skip pre-cutoff files, opened: ${ch.inputFiles.mkString(", ")}")
+    val rows = ch.orderBy("conv_id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("c-1", "c-100", "c-2"))
+    assert(rows(0).getAs[String]("text") == "updated" && !rows(0).getAs[Boolean]("_deleted"))
+    assert(rows(1).getAs[String]("text") == "new")
+    assert(rows(2).getAs[Boolean]("_deleted")) // net delete survives as a tombstone row
+
+    // Across a compaction boundary: the compacted bucket's base folds old
+    // rows in; the cutoff filter still yields the exact net change set.
+    val b2 = Seq(
+      """{"op":"U","lsn":36,"conv_id":"c-3","turn_idx":0,"after":{"role":"r","text":"t3v2"}}""")
+    graft.cdc.MergeApply.applyRaw(spark, dir, b2.toDF("value"), 2L,
+      policy = graft.cdc.MergeApply.CompactionPolicy(factor = 0.0, minRows = 1))
+    assert(IceLite.load(dir).buckets.nonEmpty) // the touched bucket compacted
+    val ch2 = IceLite.changesSince(spark, dir, vA).orderBy("conv_id").collect()
+    assert(ch2.map(_.getString(0)).toSeq == Seq("c-1", "c-100", "c-2", "c-3"))
+    assert(ch2(3).getAs[String]("text") == "t3v2")
+    // and consuming from the NEW snapshot sees only the last batch
+    val vB = IceLite.load(dir).version - 1
+    val ch3 = IceLite.changesSince(spark, dir, vB).collect()
+    assert(ch3.map(_.getString(0)).toSeq == Seq("c-3"))
+  }
+
   test("tombstones are dropped from public reads, kept in stored reads") {
     val dir = TestSpark.freshDir("icelite-tomb")
     IceLite.create(dir, payload, numBuckets = 4)
