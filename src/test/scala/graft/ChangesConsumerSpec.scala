@@ -1,0 +1,72 @@
+package graft
+
+import graft.cdc.MergeApply
+import graft.table.IceLite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental-consumption contract end-to-end: a DERIVED table
+  * maintained ONLY from `changesSince` deltas (the cursor pattern — each
+  * cycle consumes from the last version it saw) must converge to exactly
+  * the source table's state, through updates, deletes, re-inserts, batches
+  * that touch disjoint key sets, and a compaction boundary. This is the
+  * shape a 100 TB downstream materialization (an index, a feature store, a
+  * replica) actually runs: O(changed data) per cycle, never a full re-read.
+  */
+class ChangesConsumerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a derived table fed only by changesSince converges to the source") {
+    val src = TestSpark.freshDir("chg-src")
+    val dst = TestSpark.freshDir("chg-dst")
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("role", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    IceLite.create(src, payload, numBuckets = 8)
+    IceLite.create(dst, payload, numBuckets = 4) // consumer picks its own layout
+
+    // Five deterministic batches over 40 keys: inserts, overlapping updates,
+    // deletes, a re-insert after delete; batch 3 forces a compaction.
+    def line(op: String, lsn: Long, k: Int, txt: String) =
+      if (op == "D") s"""{"op":"D","lsn":$lsn,"conv_id":"c-$k","turn_idx":0}"""
+      else s"""{"op":"$op","lsn":$lsn,"conv_id":"c-$k","turn_idx":0,"after":{"role":"r","text":"$txt"}}"""
+    val batches: Seq[Seq[String]] = Seq(
+      (0 until 40).map(k => line("I", 100 + k, k, s"v0-$k")),
+      (0 until 20).map(k => line("U", 200 + k, k, s"v1-$k")),
+      (10 until 15).map(k => line("D", 300 + k, k, "")) ++
+        (30 until 40).map(k => line("U", 320 + k, k, s"v2-$k")),
+      (12 until 14).map(k => line("I", 400 + k, k, s"back-$k")), // re-insert
+      (35 until 40).map(k => line("D", 500 + k, k, "")))
+
+    var cursor = IceLite.load(src).version // the consumer's last-seen version
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      val policy =
+        if (i == 3) MergeApply.CompactionPolicy(factor = 0.0, minRows = 1)
+        else MergeApply.CompactionPolicy()
+      MergeApply.applyRaw(spark, src, lines.toDF("value"), i.toLong, policy = policy)
+
+      // Consume the delta and apply it to the derived table via the typed path.
+      val changes = IceLite.changesSince(spark, src, cursor)
+        .select(
+          when(col(IceLite.DeletedCol), "D").otherwise("U").as("op"),
+          col(IceLite.LsnCol).as("lsn"),
+          col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      MergeApply.applyChanges(spark, dst, changes, i.toLong)
+      cursor = IceLite.load(src).version
+    }
+
+    val srcRows = IceLite.read(spark, src).orderBy("conv_id")
+      .select("conv_id", "turn_idx", "role", "text").collect().toSeq
+    val dstRows = IceLite.read(spark, dst).orderBy("conv_id")
+      .select("conv_id", "turn_idx", "role", "text").collect().toSeq
+    assert(srcRows.nonEmpty && srcRows == dstRows,
+      s"derived state diverged: src=${srcRows.size} rows, dst=${dstRows.size} rows")
+    // Spot checks on the interesting lifecycles: deleted keys stay gone,
+    // the re-inserted keys carry the re-insert payload.
+    val byKey = dstRows.map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(!byKey.contains("c-10") && !byKey.contains("c-14") && !byKey.contains("c-35"))
+    assert(byKey("c-12") == "back-12" && byKey("c-13") == "back-13")
+    assert(byKey("c-30") == "v2-30" && byKey("c-0") == "v1-0")
+  }
+}

@@ -156,6 +156,23 @@ class PlanSpec extends AnyFunSuite {
       s"query set must be the broadcast side:\n$p")
   }
 
+  test("curate_pipeline: one declarative plan, keyed joins only, benchmark set broadcast") {
+    val p = plan("curate_pipeline")
+    assert(!p.contains("CartesianProduct"), s"curation chain must never cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark n-gram set (MBs by definition) must broadcast:\n$p")
+  }
+
+  test("sample_stratified: a scan-level filter — no join, no aggregate, no width") {
+    val p = plan("sample_stratified")
+    // The md5-keyed sample is a stateless per-row predicate: at 100 TB it
+    // must compose with the scan (zero shuffles besides the presentation
+    // sort), never materialize per-stratum state.
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"hash sampling must be a pure filter:\n$p")
+    assert(p.contains("Filter"), s"expected the scan-level rate filter:\n$p")
+  }
+
   test("agg_count_by_type: partial aggregation + single shuffle") {
     val p = plan("agg_count_by_type")
     assert(p.contains("partial_count") || p.contains("partial"),
