@@ -502,15 +502,32 @@ object IceLite {
     * Pre-stats snapshots have `maxLsn = Long.MinValue`, degrading to a full
     * LWW diff — conservative, never wrong.
     */
-  def changesSince(spark: SparkSession, path: String, sinceVersion: Int): DataFrame = {
-    val cur = load(path)
+  def changesSince(spark: SparkSession, path: String, sinceVersion: Int): DataFrame =
+    changesBetween(spark, path, sinceVersion, load(path).version)
+
+  /** [[changesSince]] generalized to a historical window: the net change
+    * per key between snapshots `sinceVersion` and `untilVersion` — rows of
+    * vB's entries with `_lsn` in (vA.maxLsn, vB.maxLsn], LWW-folded, zone
+    * maps pruning both ends. `changesSince(vA)` IS
+    * `changesBetween(vA, current)`, which is vacuum-safe by construction
+    * (it reads only the live snapshot's files); a historical `untilVersion`
+    * needs that snapshot's data files still retained — the same expiry
+    * caveat as any time-travel read after `vacuum`.
+    */
+  def changesBetween(spark: SparkSession, path: String,
+                     sinceVersion: Int, untilVersion: Int): DataFrame = {
+    val until = loadVersion(path, f"v$untilVersion%05d.json")
     val since = loadVersion(path, f"v$sinceVersion%05d.json")
-    val cutoff = since.maxLsn
-    val candidates = (cur.buckets ++ cur.deltas).filter(_.maxLsn > cutoff)
-    readEntries(spark, path, cur, candidates)
-      .map(df => lwwReduce(df.filter(col(LsnCol) > cutoff)))
+    val lo = since.maxLsn
+    // A pre-stats `until` has no recorded watermark: take everything (the
+    // conservative full upper bound), never an accidentally-empty window.
+    val hi = if (until.maxLsn == Long.MinValue) Long.MaxValue else until.maxLsn
+    val candidates = (until.buckets ++ until.deltas)
+      .filter(e => e.maxLsn > lo && e.minLsn <= hi)
+    readEntries(spark, path, until, candidates)
+      .map(df => lwwReduce(df.filter(col(LsnCol) > lo && col(LsnCol) <= hi)))
       .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], until.schema))
   }
 
   /** Cast/extend a DataFrame written under an older schema to `target`:
