@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_replay_audit" -> ((s, d) => CdcQueries.replayAudit(s, d)),
     "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
+    "sessionize" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
 
     // ---- aggregations (§2.4 A1-A6) ----
@@ -831,6 +832,24 @@ object SparkEntry {
         |       lsn
         |FROM ranked WHERE rn = 1
         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Gap sessionization (24 h split, strictly-greater rule, microsecond-
+    // integer compare): one row per (user, session) with bounds + aggregates.
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, "value",
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS si
+        |  FROM g)
+        |SELECT user_id, CAST(si AS BIGINT) AS session_idx, count(*) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end,
+        |       round(sum("value"), 4) AS sum_value
+        |FROM s GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "cdc_lww_window" ->
       """WITH feed AS (
         |  SELECT event_id AS lsn,

