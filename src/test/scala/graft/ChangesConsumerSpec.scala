@@ -56,6 +56,16 @@ class ChangesConsumerSpec extends AnyFunSuite {
       cursor = IceLite.load(src).version
     }
 
+    // Consumer crash-retry: re-consuming the SAME window under the SAME
+    // epoch id (the cursor was never persisted) must be a no-op — the
+    // derived table's exactly-once batch guard absorbs the replay.
+    val replay = IceLite.changesSince(spark, src, 0)
+      .select(when(col(IceLite.DeletedCol), "D").otherwise("U").as("op"),
+        col(IceLite.LsnCol).as("lsn"), col("conv_id"), col("turn_idx"),
+        col("role"), col("text"))
+    val res = MergeApply.applyChanges(spark, dst, replay, (batches.size - 1).toLong)
+    assert(!res.committed, "replayed epoch must no-op via the batch guard")
+
     val srcRows = IceLite.read(spark, src).orderBy("conv_id")
       .select("conv_id", "turn_idx", "role", "text").collect().toSeq
     val dstRows = IceLite.read(spark, dst).orderBy("conv_id")
