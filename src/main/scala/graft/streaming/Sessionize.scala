@@ -76,7 +76,12 @@ object Sessionize {
   }
 
   private def emit(userId: Long, s: OpenSession): Session =
-    Session(userId, s.n, toTs(s.startUs), toTs(s.lastUs), math.rint(s.sum * 1e4) / 1e4)
+    // Same rounding as the batch form's round(sum, 4): HALF_UP over the
+    // double's shortest decimal representation (rint's half-even on the
+    // binary product can differ in the 4th decimal).
+    Session(userId, s.n, toTs(s.startUs), toTs(s.lastUs),
+      java.math.BigDecimal.valueOf(s.sum)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
 
   /** One state-transition call: fold the trigger's events (sorted — the
     * framework does not order the iterator) into the open session, closing
@@ -107,14 +112,25 @@ object Sessionize {
           out += emit(userId, s)
           open = Some(OpenSession(us, us, 1L, e.value))
         case Some(s) =>
-          open = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + e.value))
+          // An out-of-order event still inside the watermark folds into the
+          // open session, LOWERING its start if it precedes it. This keeps
+          // the state O(1); the trade (vs buffering every event, Spark's
+          // native session_window) is that a late event cannot re-SPLIT a
+          // span the open session already covers — for in-order streams
+          // (what an LSN-ordered CDC feed delivers) the two forms agree
+          // exactly, and SessionizeSpec pins that parity.
+          open = Some(OpenSession(math.min(s.startUs, us), math.max(s.lastUs, us),
+            s.n + 1, s.sum + e.value))
         case None =>
           open = Some(OpenSession(us, us, 1L, e.value))
       }
     }
     open.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.lastUs / 1000 + gapMicros / 1000)
+      // Round UP to the next millisecond: truncation would let the timeout
+      // fire sub-ms early and split a boundary the strictly-greater rule
+      // keeps together.
+      state.setTimeoutTimestamp((s.lastUs + gapMicros + 999) / 1000)
     }
     out.iterator
   }

@@ -74,6 +74,26 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream: an out-of-order event inside the watermark lowers the session start") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = Sessionize.stream(in.toDF().toDF("user_id", "ts", "value"),
+      gapMicros = 2L * 3600 * 1000000, watermarkDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      in.addData((1L, ts(12), 1.0))
+      q.processAllAvailable() // watermark now 11:30
+      in.addData((1L, ts(11, 45), 2.0)) // late but inside the watermark
+      q.processAllAvailable()
+      in.addData((1L, ts(20), 0.0)) // > gap → closes the session
+      q.processAllAvailable()
+      val s = spark.table("sess_ooo").as[Sessionize.Session].collect()
+        .find(x => x.user_id == 1L && x.n_events == 2L).get
+      assert(s.t_start == ts(11, 45) && s.t_end == ts(12) && s.sum_value == 3.0)
+    } finally q.stop()
+  }
+
   test("batch and stream agree on the same input (sessions as sets)") {
     implicit val sc = spark.sqlContext
     val dir = TestSpark.freshDir("sess-parity")
