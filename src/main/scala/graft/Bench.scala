@@ -167,7 +167,22 @@ object Bench {
     }
     while (kept().size < 3 && pairs.size < 6) runPair(pairs.size + 1)
     def ratios() = kept().map { case ((_, ns), (_, xs)) => (ns / xs) / 4.0 }
-    def quietRatio() = kept().minBy { case ((_, ns), (_, xs)) => ns + xs } match {
+    // Graded pair = the kept pair with the LEAST RELATIVE DISTORTION:
+    // minimum over pairs of max(leg ÷ same-core-count floor). Round 4's
+    // lesson: selecting by min(nSec + xSec) is insensitive to 4-core-leg
+    // dilation because the 1-core leg is ~3.2× the 4-core leg — a pair
+    // whose short leg ran 1.37× the floor beat a clean pair by 0.7% of
+    // total and graded 0.585 while the same invocation's median read
+    // 0.903. Normalizing each leg by its own core-count floor weighs both
+    // legs equally, so the selected pair is the one whose BOTH legs were
+    // closest to the quietest observed window.
+    def leastDistorted() = {
+      val nFloor = pairs.map(_._1._2).min
+      val xFloor = pairs.map(_._2._2).min
+      kept().minBy { case ((_, ns), (_, xs)) =>
+        math.max(ns / nFloor, xs / xFloor) }
+    }
+    def quietRatio() = leastDistorted() match {
       case ((_, ns), (_, xs)) => (ns / xs) / 4.0
     }
     while (pairs.size < 6 && (quietRatio() > 1.0 || ratios().count(_ <= 1.0) < 2))
@@ -193,21 +208,29 @@ object Bench {
     val epsN = evN / math.max(secN, 1e-9)
     val eps4N = ev4N / math.max(sec4N, 1e-9)
     val epsPeak = evP / math.max(secP, 1e-9)
-    // Headline efficiency = the ratio from the pair with the smallest TOTAL
-    // time. Co-tenant interference on this shared host is strictly additive,
-    // so the fastest pair is the least-disturbed window — the min-of-k
-    // estimator every microbenchmark harness uses, applied to WHOLE PAIRS so
-    // a slow N can never be combined with a fast 4N (the interleaving keeps
+    // Headline efficiency = the ratio from the LEAST-DISTORTED pair (see
+    // leastDistorted above: minimum over kept pairs of max(leg ÷
+    // same-core-count floor)). Co-tenant interference on this shared host is
+    // strictly additive, so the pair whose worst leg is closest to its floor
+    // is the least-disturbed window — min-of-k applied to WHOLE PAIRS so a
+    // slow N can never be combined with a fast 4N (the interleaving keeps
     // each ratio's two runs in one noise window). Fallbacks, in order, when
-    // the min-total pair reads an impossible >1.0 even after the extra
+    // the selected pair reads an impossible >1.0 even after the extra
     // pairs: the median of the sub-1.0 ratios (≥2 of them agree by
     // construction of the retry loop), else the minimum ratio (the least
     // overestimate — a >1.0 ratio only ever OVERSTATES efficiency because
-    // its N run absorbed the disturbance). All estimators run over the KEPT
-    // (undisturbed) pairs; raw per-pair wall times for EVERY pair — kept or
-    // discarded — ship in the JSON so the call is auditable.
+    // its N run absorbed the disturbance). Two cross-checks ship alongside:
+    // `floors_efficiency` = (nFloor / xFloor) / 4 — the ratio of the two
+    // per-core-count floors, immune to pair pairing entirely — and
+    // `all_pairs_median_efficiency` over EVERY pair including discarded
+    // ones, so a systematic (non-noise) slowdown cannot hide behind the
+    // disturbance guard. All estimators over the KEPT pairs unless named
+    // otherwise; raw per-pair wall times for EVERY pair ship in the JSON.
     val pairEff = ratios().toSeq
     val medianPairEff = median(pairEff)
+    val allPairEff = pairs.toSeq.map { case ((_, ns), (_, xs)) => (ns / xs) / 4.0 }
+    val allPairsMedianEff = median(allPairEff)
+    val floorsEff = (allNSecs.min / allXSecs.min) / 4.0
     val quietPair = quietRatio()
     val subOne = pairEff.filter(_ <= 1.0)
     val efficiency =
@@ -219,13 +242,19 @@ object Bench {
       f"spread ${spread(xSecs) * 100}%.1f%%); per-pair efficiency " +
       pairEff.map(e => f"$e%.3f").mkString("[", ", ", "]") +
       f" ($discarded disturbed pair(s) discarded) " +
-      f"-> quiet-pair $efficiency%.3f, median $medianPairEff%.3f; " +
+      f"-> least-distorted $efficiency%.3f, kept-median $medianPairEff%.3f, " +
+      f"all-pairs-median $allPairsMedianEff%.3f, floors $floorsEff%.3f; " +
       f"peak local[32]: $epsPeak%.0f eps")
+
+    val cdcBlock = cdcJson(nCores, xCores, ev4N, secN, epsN, spread(nSecs),
+      sec4N, eps4N, spread(xSecs), pairEff, medianPairEff, allPairsMedianEff,
+      floorsEff, efficiency, discarded, secP, epsPeak, allNSecs, allXSecs,
+      (sec2, sec8))
 
     // Insurance: land the replay-phase JSON before the query sweep, so a
     // harness timeout mid-sweep still leaves the scaling numbers on disk.
     writeJson(
-      f"""{"metric":"change_events_per_sec","value":${math.max(eps4N, epsPeak)}%.0f,"unit":"events/sec","queries":{},"sf":"$sfDir","cdc":${cdcJson(nCores, xCores, ev4N, secN, epsN, spread(nSecs), sec4N, eps4N, spread(xSecs), pairEff, medianPairEff, efficiency, discarded, secP, epsPeak, allNSecs, allXSecs, (sec2, sec8))}}""")
+      f"""{"metric":"change_events_per_sec","value":${math.max(eps4N, epsPeak)}%.0f,"unit":"events/sec","queries":{},"sf":"$sfDir","cdc":$cdcBlock}""")
 
     // ---- operator queries at local[32]
     val spark = session(32)
@@ -271,13 +300,21 @@ object Bench {
 
     val best = math.max(eps4N, epsPeak)
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val json =
-      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":${cdcJson(nCores, xCores, ev4N, secN, epsN, spread(nSecs), sec4N, eps4N, spread(xSecs), pairEff, medianPairEff, efficiency, discarded, secP, epsPeak, allNSecs, allXSecs, (sec2, sec8))}}"""
-    // Stdout (driver contract) AND a file copy — round 1's JSON arrived
-    // sbt-log-prefixed and failed the driver's parse; the file is the
-    // always-clean fallback.
-    println(json)
-    writeJson(json)
+    val fullJson =
+      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":$qs,"sf":"$sfDir","cdc":$cdcBlock}"""
+    // The FULL per-query JSON goes to the file (and is mirrored into
+    // BENCH.md each round). The line printed to stdout is COMPACT: the
+    // round-4 artifact's tail capture is ~2 KB from the end, and the
+    // 61-query full line (~4.5 KB) arrived front-truncated — the driver
+    // recorded `parsed: null` and lost the cdc block. The compact line
+    // carries the headline, the entire cdc/scaling block, and query-sweep
+    // aggregates, and stays well under the capture window; `queries_file`
+    // points at the full artifact.
+    writeJson(fullJson)
+    val qTotal = queryTimes.map(_._2).sum
+    val compact =
+      f"""{"metric":"change_events_per_sec","value":$best%.0f,"unit":"events/sec","queries":{},"query_count":${queryTimes.size},"query_total_sec":$qTotal%.1f,"queries_file":"target/bench.json","sf":"$sfDir","cdc":$cdcBlock}"""
+    println(compact)
   }
 
   /** `pair_n_secs`/`pair_x4_secs` list EVERY pair run (kept + discarded);
@@ -288,10 +325,11 @@ object Bench {
                       ev4N: Long, secN: Double, epsN: Double, nSpread: Double,
                       sec4N: Double, eps4N: Double, xSpread: Double,
                       pairEff: Seq[Double], medianPairEff: Double,
+                      allPairsMedianEff: Double, floorsEff: Double,
                       efficiency: Double, discarded: Int, secP: Double, epsPeak: Double,
                       nSecs: Seq[Double], xSecs: Seq[Double],
                       secondary: (Double, Double)): String =
-    f"""{"events":$ev4N,"n_cores":$nCores,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"n_spread":$nSpread%.3f,"x4_cores":$xCores,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"x4_spread":$xSpread%.3f,"pair_n_secs":${nSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},"pair_x4_secs":${xSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},"pair_efficiencies":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},"median_pair_efficiency":$medianPairEff%.3f,"scaling_efficiency":$efficiency%.3f,"discarded_pairs":$discarded,"secondary":{"n_cores":2,"n_sec":${secondary._1}%.2f,"x4_cores":8,"x4_sec":${secondary._2}%.2f,"efficiency":${(secondary._1 / secondary._2) / 4.0}%.3f},"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}"""
+    f"""{"events":$ev4N,"n_cores":$nCores,"n_sec":$secN%.2f,"n_eps":$epsN%.0f,"n_spread":$nSpread%.3f,"x4_cores":$xCores,"x4_sec":$sec4N%.2f,"x4_eps":$eps4N%.0f,"x4_spread":$xSpread%.3f,"pair_n_secs":${nSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},"pair_x4_secs":${xSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},"pair_efficiencies":${pairEff.map(e => f"$e%.3f").mkString("[", ",", "]")},"median_pair_efficiency":$medianPairEff%.3f,"all_pairs_median_efficiency":$allPairsMedianEff%.3f,"floors_efficiency":$floorsEff%.3f,"scaling_efficiency":$efficiency%.3f,"discarded_pairs":$discarded,"secondary":{"n_cores":2,"n_sec":${secondary._1}%.2f,"x4_cores":8,"x4_sec":${secondary._2}%.2f,"efficiency":${(secondary._1 / secondary._2) / 4.0}%.3f},"peak32_sec":$secP%.2f,"peak32_eps":$epsPeak%.0f}"""
 
   private def writeJson(json: String): Unit = {
     Files.createDirectories(Paths.get("/root/repo/target"))

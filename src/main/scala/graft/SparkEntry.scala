@@ -247,6 +247,7 @@ object SparkEntry {
     "pagination_follow" -> ((s, d) => PageOps.paginationFollow(s, d)),
     "ldif_render" -> ((s, d) => PageOps.ldifRender(s, d)),
     "dns_shape" -> ((s, d) => PageOps.dnsShape(s, d)),
+    "auth_token_chain" -> ((s, d) => PageOps.authTokenChain(s, d)),
 
     // ---- per-record JSON-Schema document generation (the JSG output itself) ----
     "jsg_json_schema" -> ((s, d) => {
@@ -661,13 +662,19 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
          |  FROM scored)
          |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin,
-    // IVF ANN: the oracle re-runs the identical algorithm — sampled
-    // centroids (vec_id < 16), nearest-cell assignment, nprobe=4 probe
+    // IVF ANN: the oracle re-runs the identical algorithm — hash-stratified
+    // centroid sample (min-md5 vector per md5 stratum, 16 strata from the
+    // hash's first two bytes), nearest-cell assignment, nprobe=4 probe
     // cells per query, exact cosine re-rank — with the same round(·,4) +
     // id tie-break ordering discipline as every vector query.
     "sim_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hs AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM hs
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY (${dbyte("h", 1)}*256+${dbyte("h", 3)}) % 16
+        |    ORDER BY h, vec_id) = 1),
         |ranked AS (
         |  SELECT e.vec_id, c.cid,
         |         row_number() OVER (PARTITION BY e.vec_id
@@ -1072,7 +1079,8 @@ object SparkEntry {
     "dns_shape" ->
       """WITH q AS (
         |  SELECT event_id,
-        |         ['A','AAAA','MX','TXT'][CAST(event_id % 4 AS INTEGER) + 1] AS qtype
+        |         ['A','AAAA','MX','TXT','NS','CNAME','PTR','SOA','SRV']
+        |           [CAST(event_id % 9 AS INTEGER) + 1] AS qtype
         |  FROM events),
         |r AS (
         |  SELECT event_id, qtype,
@@ -1080,18 +1088,59 @@ object SparkEntry {
         |                CASE WHEN event_id % 2 = 0 THEN '10.0.0.' || CAST(event_id % 256 AS VARCHAR)
         |                     ELSE 'alias-' || CAST(event_id AS VARCHAR) || '.example.com' END
         |              WHEN qtype = 'AAAA' THEN '2001:db8::' || CAST(event_id % 16 AS VARCHAR)
-        |              WHEN qtype = 'MX' THEN CAST(event_id % 100 AS VARCHAR) || ' mx-' ||
-        |                   CAST(event_id AS VARCHAR) || '.example.com'
-        |              ELSE 'txt-fragment-' || CAST(event_id AS VARCHAR) END AS raw
+        |              WHEN qtype = 'MX' THEN
+        |                CASE WHEN event_id % 45 = 2
+        |                     THEN 'badprio mx-' || CAST(event_id AS VARCHAR) || '.example.com'
+        |                     ELSE CAST(event_id % 100 AS VARCHAR) || ' mx-' ||
+        |                          CAST(event_id AS VARCHAR) || '.example.com' END
+        |              WHEN qtype = 'TXT' THEN 'txt-fragment-' || CAST(event_id AS VARCHAR)
+        |              WHEN qtype = 'NS' THEN 'ns' || CAST(event_id % 4 AS VARCHAR) || '.example.com'
+        |              WHEN qtype = 'CNAME' THEN 'target-' || CAST(event_id AS VARCHAR) || '.example.com'
+        |              WHEN qtype = 'PTR' THEN 'host-' || CAST(event_id % 64 AS VARCHAR) || '.example.com'
+        |              WHEN qtype = 'SOA' THEN 'ns1.example.com. admin.example.com. ' ||
+        |                   CAST(event_id AS VARCHAR) || ' 3600 900 604800 86400'
+        |              ELSE CAST(event_id % 10 AS VARCHAR) || ' 5 ' ||
+        |                   CAST(8000 + event_id % 100 AS VARCHAR) || ' srv-' ||
+        |                   CAST(event_id AS VARCHAR) || '.example.com' END AS raw
         |  FROM q)
         |SELECT event_id, qtype, raw,
         |       CASE WHEN qtype = 'A' AND regexp_matches(raw, '^\d+\.\d+\.\d+\.\d+$')
         |            THEN raw END AS ip,
         |       CASE WHEN qtype = 'A' AND NOT regexp_matches(raw, '^\d+\.\d+\.\d+\.\d+$')
         |            THEN raw END AS cname,
-        |       CASE WHEN qtype = 'MX' THEN CAST(split_part(raw, ' ', 1) AS INTEGER) END AS mx_prio,
-        |       CASE WHEN qtype = 'MX' THEN split_part(raw, ' ', 2) END AS mx_host
+        |       CASE WHEN qtype = 'MX' AND regexp_matches(split_part(raw, ' ', 1), '^\d+$')
+        |            THEN CAST(split_part(raw, ' ', 1) AS INTEGER) END AS mx_prio,
+        |       CASE WHEN qtype = 'MX' AND regexp_matches(split_part(raw, ' ', 1), '^\d+$')
+        |            THEN split_part(raw, ' ', 2) END AS mx_host,
+        |       CASE WHEN qtype = 'MX' AND NOT regexp_matches(split_part(raw, ' ', 1), '^\d+$')
+        |            THEN raw END AS mx_record,
+        |       CASE WHEN qtype IN ('NS','CNAME','PTR') THEN raw END AS target,
+        |       CASE WHEN qtype = 'SOA' THEN CAST(split_part(raw, ' ', 3) AS BIGINT) END AS soa_serial,
+        |       CASE WHEN qtype = 'SRV' THEN CAST(split_part(raw, ' ', 3) AS INTEGER) END AS srv_port,
+        |       CASE WHEN qtype = 'SRV' THEN split_part(raw, ' ', 4) END AS srv_target
         |FROM r ORDER BY event_id""".stripMargin,
+    // Auth modes + token chain: the oracle computes the same extracted
+    // token scalar the Spark side pulls out of the lowercased response
+    // header MAP (the map plumbing is Spark-side; values must agree).
+    "auth_token_chain" ->
+      """WITH x AS (
+        |  SELECT event_id, event_type, user_id,
+        |         ['None','Basic Authentication','Bearer Token','API Key','Custom']
+        |           [CAST(event_id % 5 AS INTEGER) + 1] AS auth_type,
+        |         CASE WHEN event_id % 3 = 0 THEN md5(CAST(event_id AS VARCHAR)) END AS next_token
+        |  FROM events)
+        |SELECT event_id, auth_type,
+        |       CASE WHEN auth_type IN ('Basic Authentication','Bearer Token') THEN 'Authorization'
+        |            WHEN auth_type = 'API Key' THEN 'X-API-Key'
+        |            WHEN auth_type = 'Custom' THEN 'X-Custom-Auth' END AS auth_header,
+        |       CASE WHEN auth_type = 'Basic Authentication'
+        |              THEN 'Basic ' || to_base64(encode(event_type || ':' || CAST(user_id AS VARCHAR)))
+        |            WHEN auth_type = 'Bearer Token'
+        |              THEN 'Bearer ' || coalesce(next_token, 'cfg-token-0')
+        |            WHEN auth_type = 'API Key' THEN 'key-' || CAST(user_id AS VARCHAR)
+        |            WHEN auth_type = 'Custom' THEN md5(event_type) END AS auth_value,
+        |       next_token
+        |FROM x ORDER BY event_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -33,11 +33,22 @@ import org.apache.spark.storage.StorageLevel
   *    consumes each operator result exactly once);
   *  - actions that do NOT consume the frame (other queries in a sweep,
   *    metadata probes like a `head` on an unrelated frame) don't release it;
-  *  - if the returned frame is never consumed, the cache lives until the
-  *    session ends — the same bound the session-global cache had, but now
-  *    per-operator instead of accumulating across a 47-query sweep.
+  *  - if the returned frame is never consumed, the listener gives up after
+  *    [[MaxMisses]] non-matching actions and releases the cache anyway — a
+  *    long-lived embedding session that builds operator results it never
+  *    consumes would otherwise accumulate both cached blocks and listeners
+  *    (each leaked listener walks every subsequent action's analyzed plan).
+  *    An abandoned frame consumed AFTER the cap merely recomputes without
+  *    the barrier — a performance bound, never a correctness one.
   */
 object CacheScope {
+
+  /** Non-matching completed actions tolerated before an unconsumed frame's
+    * cache + listener are force-released. Every operator in this repo
+    * consumes its result within a handful of actions; 512 is two orders of
+    * margin while still bounding the leak for embedding callers.
+    */
+  val MaxMisses = 512
 
   def persistUntilConsumed(df: DataFrame,
                            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
@@ -55,11 +66,13 @@ object CacheScope {
     val target = df.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private def maybeRelease(qe: QueryExecution): Unit = {
         val consumed =
           try qe.analyzed.exists(p => p.sameResult(target))
           catch { case _: Throwable => false }
-        if (consumed && released.compareAndSet(false, true)) {
+        val giveUp = !consumed && misses.incrementAndGet() >= MaxMisses
+        if ((consumed || giveUp) && released.compareAndSet(false, true)) {
           df.unpersist(blocking = false)
           spark.listenerManager.unregister(this)
         }

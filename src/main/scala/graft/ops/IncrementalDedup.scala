@@ -33,10 +33,11 @@ import org.apache.spark.sql.types._
   * (IncrementalDedupPropertySpec proves this per random split; the driver's
   * DuckDB oracle recomputes it corpus-wide).
   *
-  * Exactly-once: an already-committed batchId no-ops (the sigindex epoch
-  * log is the guard), and the survivor output is written to a
-  * deterministic per-batch directory with overwrite — a crash-retry
-  * rewrites identical bytes instead of duplicating rows.
+  * Exactly-once: a batchId committed by BOTH state tables no-ops (each
+  * table keeps its own epoch log; requiring both means a crash that lands
+  * only one append is retried, not skipped), and the survivor output is
+  * written to a deterministic per-batch directory with overwrite — a
+  * crash-retry rewrites identical bytes instead of duplicating rows.
   *
   * Scale shape per batch: candidate generation is ONE equi-join of the
   * batch's band rows against the bucket-pruned state slice (never a scan of
@@ -74,7 +75,18 @@ object IncrementalDedup {
     if (!IceLite.exists(sigIndex)) IceLite.create(sigIndex, new StructType(), cfg.numBuckets)
     if (!IceLite.exists(docSigs)) IceLite.create(docSigs, new StructType(), cfg.numBuckets)
     val idxSnap = IceLite.load(sigIndex)
-    if (idxSnap.hasBatch(batchId)) return -1L // exactly-once: epoch replayed
+    // Exactly-once guard — the epoch is "replayed" only when BOTH state
+    // tables committed it. The two appends run as concurrent futures, so a
+    // crash can land either one alone; guarding on sigindex only would make
+    // a retry skip the missing docsigs append forever, and later batches'
+    // exact-Jaccard verify would silently lose those candidates. On a
+    // partial replay the whole body re-runs: each table's applyChanges
+    // no-ops via its own epoch log, the survivor/pair writes are
+    // deterministic overwrites, and a doc whose signatures are already in
+    // one state slice merely duplicates candidate/pair rows — tolerated by
+    // every consumer (see [[dupPairs]]).
+    if (idxSnap.hasBatch(batchId) && IceLite.load(docSigs).hasBatch(batchId))
+      return -1L
     lap("snapshots")
 
     val sh = TextOps.shingleSetsOf(spark, batch.select("doc_id", "text")).persist()

