@@ -32,6 +32,7 @@ object SparkEntry {
     "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
     "sessionize" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
+    "sessionize_changes" -> ((s, d) => CdcQueries.sessionizeChanges(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
 
     // ---- aggregations (§2.4 A1-A6) ----
@@ -839,6 +840,45 @@ object SparkEntry {
         |       lsn
         |FROM ranked WHERE rn = 1
         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Sessionized-view refresh delta: LWW winner per (conv, turn) key →
+    // conversations touched after the phase-1 cutoff (any key whose winner
+    // lsn > cutoff — exactly the keys changesSince emits) → 24 h gap
+    // sessions over those conversations' SURVIVING winners, bounds as
+    // epoch microseconds.
+    "sessionize_changes" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         "value", ts
+        |  FROM events),
+        |win AS (
+        |  SELECT * FROM (
+        |    SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx
+        |                                   ORDER BY lsn DESC) AS rn
+        |    FROM feed f) WHERE rn = 1),
+        |cutoff AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS h FROM events),
+        |touched AS (
+        |  SELECT DISTINCT conv_id FROM win, cutoff WHERE lsn > h),
+        |live AS (
+        |  SELECT w.conv_id, w.turn_idx, epoch_us(w.ts) AS us, w."value"
+        |  FROM win w JOIN touched t USING (conv_id)
+        |  WHERE w.op = 'U'),
+        |g AS (
+        |  SELECT conv_id, turn_idx, us, "value",
+        |         CASE WHEN us - lag(us) OVER (PARTITION BY conv_id ORDER BY us, turn_idx)
+        |              > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM live),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY us, turn_idx
+        |                           ROWS UNBOUNDED PRECEDING) AS si
+        |  FROM g)
+        |SELECT conv_id, CAST(si AS BIGINT) AS session_idx, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       round(sum("value"), 4) AS sum_value
+        |FROM s GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // Gap sessionization (24 h split, strictly-greater rule, microsecond-
     // integer compare): one row per (user, session) with bounds + aggregates.
     "sessionize" ->

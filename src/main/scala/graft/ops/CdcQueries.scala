@@ -194,6 +194,48 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** St6 × incremental-read composition: transcript assembly as a DERIVED-
+    * TABLE CONSUMER of the converged conversation table — the end-to-end
+    * conversation-pipeline story (CDC feed → converged icelite table →
+    * incrementally maintained sessionized view). The events feed is staged
+    * in two LSN-ordered phases; after phase 2, [[IceLite.changesSince]]
+    * (the manifest-pruned incremental cursor) yields the keys phase 2
+    * touched, and sessions are recomputed for EXACTLY the touched
+    * conversations from converged state (a left-semi join — the standard
+    * delta-driven partial view refresh: cost O(changed conversations'
+    * rows), never O(table); untouched conversations keep their stored view
+    * rows, which is why the query's output is the refresh delta itself).
+    * Sessions here are gap-splits over each conversation's SURVIVING turn
+    * rows (LWW winners), so the DuckDB oracle recomputes the identical set
+    * from events.parquet alone: winner per key → touched conversations
+    * (any key whose winner lsn > cutoff) → per-conversation gap windows.
+    */
+  def sessionizeChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("sesschg", sfDir)
+    val lines = FeedGen.fromEventsWithId(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines.filter(col("event_id") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(s"$base/table").version
+    FeedGen.writeFeed(lines.filter(col("event_id") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    val touched = IceLite.changesSince(spark, s"$base/table", vA)
+      .select("conv_id").distinct()
+    val live = IceLite.read(spark, s"$base/table")
+      .join(touched, Seq("conv_id"), "left_semi")
+      .select(col("conv_id").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("turn_idx").cast("long").as("ord"),
+        col("value"))
+    graft.streaming.Sessionize.sessionsOver(live)
+      .withColumnRenamed("key", "conv_id")
+      .select("conv_id", "session_idx", "n_events", "start_us", "end_us", "sum_value")
+      .orderBy("conv_id", "session_idx")
+  }
+
   /** St7 hot-key skew as a driver query: the events feed remapped so every
     * tenth user's events collapse onto ONE conversation ("conv-hot" — ~10%
     * of the feed, hundreds of times any other key's volume, all hashing to

@@ -42,20 +42,34 @@ object GraphOps {
     * exponential long before execution does (persist caches data, not the
     * plan). The checkpointed per-round blocks are O(star edges) = O(dup
     * docs), far smaller than the pair graph, and are reclaimed by Spark's
-    * ContextCleaner once the round's frame goes out of scope; on a real
-    * cluster one would use reliable `checkpoint()` against the cluster FS
-    * instead so an executor loss cannot force a full-chain recompute.
+    * ContextCleaner once the round's frame goes out of scope.
+    *
+    * `checkpointDir` is the CLUSTER PROFILE knob: when set, every round cut
+    * is a reliable `checkpoint()` into that directory (an HDFS/object-store
+    * path on a real cluster) instead of `localCheckpoint` — executor-local
+    * checkpoint blocks die with their executor, and losing one mid-run
+    * forces a full-chain recompute that the truncated lineage can no longer
+    * serve, so a long CC job on a real cluster MUST cut to reliable
+    * storage. Algorithm and convergence are identical either way
+    * (GraphOpsSpec runs both); note `SparkContext.setCheckpointDir` is
+    * context-global, as Spark defines it.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     // oriented u > v ("point at the smaller endpoint"), deduped
-    var cur = pairs
+    var cur = cut(pairs
       .select(col("doc_b").as("u"), col("doc_a").as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var sig = checksum(cur)
     var round = 0
     while (round < maxRounds) {
-      val next = smallStar(largeStar(cur).localCheckpoint(true)).localCheckpoint(true)
+      val next = cut(smallStar(cut(largeStar(cur))))
       val nsig = checksum(next)
       if (nsig == sig) {
         // checksum fixpoint — confirm exactly. Both frames are DISTINCT sets

@@ -60,6 +60,25 @@ object Sessionize {
       .orderBy("user_id", "session_idx")
   }
 
+  /** The composable batch core: gap sessions over an arbitrary pre-projected
+    * frame `(key, us, ord, value)` — `us` the event's integer microseconds,
+    * `ord` the within-`us` tie-break. Used by the derived-view consumers
+    * (e.g. [[graft.ops.CdcQueries.sessionizeChanges]], which feeds it the
+    * bucket-pruned slice an `IceLite.changesSince` cursor selects) — same
+    * one-keyed-shuffle shape as [[sessions]], output bounds as microsecond
+    * longs so any engine reproduces them without timestamp-type coupling.
+    */
+  def sessionsOver(ev: DataFrame, gapMicros: Long = DefaultGapMicros): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("us", "ord")
+    val brk = when(col("us") - lag(col("us"), 1).over(w) > gapMicros, 1L).otherwise(0L)
+    ev.withColumn("session_idx",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("key", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
   // ---- streaming form -----------------------------------------------------
 
   case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -65,6 +65,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.connectedComponents(edgesDf(Nil)).collect().isEmpty)
   }
 
+  test("cluster profile: reliable checkpoint() dir — convergence unchanged") {
+    // The checkpointDir knob swaps localCheckpoint for reliable
+    // checkpoint(); the result must be the identical star-edge set on a
+    // multi-round shape (a chain forces several large/small-star rounds,
+    // so every cut path is exercised).
+    val dir = "/root/repo/target/graft-work/cc-ckpt"
+    val chain = (1L until 24L).map(i => (i, i + 1)) ++ Seq((500L, 501L))
+    val local = GraphOps.connectedComponents(edgesDf(chain))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reliable = GraphOps.connectedComponents(edgesDf(chain), checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable == local, "reliable-checkpoint CC diverged from localCheckpoint CC")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,
+      "reliable checkpoint dir was never written")
+  }
+
   test("seeded random graphs match union-find") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
