@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * opened (the manifest zone-map pruning) and wall time. The claim under
   * test is the 100 TB one: an incremental consumer's cost tracks the CHANGED
   * data, not the table, because pre-cutoff entries are skipped without
-  * opening a file. Run: `sbt "runMain graft.BenchChanges [sfDir]"`.
+  * opening a file. Run: `sbt "runMain graft.BenchChanges [sfDir]"`, or
+  * `sbt "runMain graft.BenchChanges --synthetic [nEvents]"` for the
+  * order-of-magnitude form (a FeedGen.synthetic feed — 120M events by
+  * default, the sf1 scale the round-3 replay validated — staged 90/10 by
+  * LSN into a 64-bucket table).
   */
 object BenchChanges {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val synthetic = args.headOption.contains("--synthetic")
     val spark = SparkSession.builder()
       .master("local[32]").appName("bench-changes")
       .config("spark.sql.shuffle.partitions", 32)
@@ -30,27 +34,49 @@ object BenchChanges {
           .forEach(f => java.nio.file.Files.delete(f)))
 
     // Phase 1: 90% of the feed (by LSN order); phase 2: the 10% tail — the
-    // steady-state shape (a big table, a small new batch).
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    val cut = ev.agg(expr("percentile(event_id, 0.9)")).head.getDouble(0).toLong
-    val lines = FeedGen.fromEvents(spark, sfDir)
-      .withColumn("_lsn", get_json_object(col("value"), "$.lsn").cast("long"))
-    // Phase 1 replays as EIGHT micro-batches so the table carries real
-    // commit history (8 delta generations), the steady-state layout an
+    // steady-state shape (a big table, a small new batch). Malformed lines
+    // (null lsn, synthetic mode) ride in phase 1; they dead-letter either way.
+    val (lines, cut, buckets, p1Files) =
+      if (synthetic) {
+        val nEvents = args.lift(1).map(_.toLong).getOrElse(120000000L)
+        val l = FeedGen.synthetic(spark, None, nEvents,
+            nConvs = math.max(1000, (nEvents / 200).toInt), turnsPerConv = 20,
+            nBatches = 10, filesPerBatch = 32)
+          .select("value")
+          .withColumn("_lsn", get_json_object(col("value"), "$.lsn").cast("long"))
+        (l, nEvents * 9 / 10, 64, 32)
+      } else {
+        val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        val c = ev.agg(expr("percentile(event_id, 0.9)")).head.getDouble(0).toLong
+        val l = FeedGen.fromEvents(spark, sfDir)
+          .withColumn("_lsn", get_json_object(col("value"), "$.lsn").cast("long"))
+        (l, c, 32, 16)
+      }
+    // Phase 1 replays as multiple micro-batches so the table carries real
+    // commit history (delta generations), the steady-state layout an
     // incremental consumer prunes against.
-    // Compaction deferred past this run's 9 batches: the measurement is the
+    // Compaction deferred past this run's batches: the measurement is the
     // BETWEEN-compactions steady state (the overwhelming majority of
     // batches); the compaction-boundary case — where only the compacted
     // buckets pay a scan — is covered by IceLiteSpec.
     val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 32, maxFilesPerTrigger = Some(2),
+      numBuckets = buckets, maxFilesPerTrigger = Some(p1Files / 8),
+      deadLetterDir = Some(s"$base/dead"),
       policy = graft.cdc.MergeApply.CompactionPolicy(
         factor = 1.0, minRows = 120000, maxDeltaFiles = 64))
-    FeedGen.writeFeed(lines.filter(col("_lsn") <= cut).drop("_lsn"), s"$base/feed/p1", files = 16)
+    FeedGen.writeFeed(lines.filter(col("_lsn").isNull || col("_lsn") <= cut)
+      .drop("_lsn"), s"$base/feed/p1", files = p1Files)
+    val t1 = System.nanoTime()
     Pipeline.replay(spark, cfg)
+    val p1Sec = (System.nanoTime() - t1) / 1e9
     val vA = IceLite.load(s"$base/table").version
-    FeedGen.writeFeed(lines.filter(col("_lsn") > cut).drop("_lsn"), s"$base/feed/p2", files = 2)
+    FeedGen.writeFeed(lines.filter(col("_lsn") > cut).drop("_lsn"), s"$base/feed/p2",
+      files = math.max(2, p1Files / 8))
+    val t2 = System.nanoTime()
     Pipeline.replay(spark, cfg)
+    val p2Sec = (System.nanoTime() - t2) / 1e9
+    System.err.println(f"[bench-changes] p1 replay ${p1Sec}%.1fs, p2 replay ${p2Sec}%.1fs")
 
     val snap = IceLite.load(s"$base/table")
     def timed[T](f: => T): (T, Double) = {

@@ -173,6 +173,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), s"expected the scan-level rate filter:\n$p")
   }
 
+  test("auth_token_chain / dns_shape: stateless codegen'd projections — no join, no aggregate") {
+    // Both operators are pure per-row shaping; at 100 TB they must compose
+    // with the scan (the only exchange is the presentation sort).
+    for (q <- Seq("auth_token_chain", "dns_shape")) {
+      val p = executedPlan(q) // AQE's pre-execution string hides codegen spans
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q must stay a pure projection:\n$p")
+      assert(p.contains("WholeStageCodegen") || p.contains("*("),
+        s"$q fell out of codegen:\n$p")
+      assert(!p.contains("props"), s"$q reads columns it never uses:\n$p")
+    }
+  }
+
+  test("ivf centroids: stratified sample via partial min_by aggregation, no sort or window") {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val p = graft.ops.VectorOps.ivfCentroids(vecs, 16)
+      .queryExecution.executedPlan.toString
+    // The sample must be a groupBy+min_by (map-side partials, nlist-row
+    // shuffle) — never a global top-k of the corpus, and never a
+    // per-stratum window sort (both shuffle the full corpus).
+    assert(p.contains("partial"), s"centroid sample missing map-side partials:\n$p")
+    assert(!p.contains("Window") && !p.contains("TakeOrdered"),
+      s"centroid sample must not rank the corpus:\n$p")
+  }
+
   test("agg_count_by_type: partial aggregation + single shuffle") {
     val p = plan("agg_count_by_type")
     assert(p.contains("partial_count") || p.contains("partial"),
