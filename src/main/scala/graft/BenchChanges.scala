@@ -39,8 +39,17 @@ object BenchChanges {
     val (lines, cut, buckets, p1Files) =
       if (synthetic) {
         val nEvents = args.lift(1).map(_.toLong).getOrElse(120000000L)
+        // Default keyspace (nEvents/200 convs × 20 turns) is CHURN-heavy:
+        // every key is updated ~10× across the feed, so the 10% tail touches
+        // ~half the table and the incremental read's cost tracks the
+        // changed-ROW fraction. An optional third arg overrides nConvs; e.g.
+        // nEvents/20 makes the feed INSERT-heavy (~1 event/key), the shape
+        // where the tail is ~10% NEW keys and the manifest zone maps skip
+        // whole pre-cutoff generations.
+        val nConvs = args.lift(2).map(_.toInt)
+          .getOrElse(math.max(1000, (nEvents / 200).toInt))
         val l = FeedGen.synthetic(spark, None, nEvents,
-            nConvs = math.max(1000, (nEvents / 200).toInt), turnsPerConv = 20,
+            nConvs = nConvs, turnsPerConv = 20,
             nBatches = 10, filesPerBatch = 32)
           .select("value")
           .withColumn("_lsn", get_json_object(col("value"), "$.lsn").cast("long"))

@@ -229,6 +229,9 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "seq_pack" -> ((s, d) => PackOps.seqPack(s, d)),
+    // transcripts→training-batches end-to-end: converged CDC conversation
+    // table packed into fixed-budget training windows (PackOps.packOver).
+    "transcript_pack" -> ((s, d) => CdcQueries.transcriptPack(s, d)),
 
     // ---- corpus curation: decontamination / repetition / PII / sampling ----
     "decontaminate" -> ((s, d) => CurateOps.decontaminate(s, d)),
@@ -242,6 +245,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
+    "dedup_semantic" -> ((s, d) => VectorOps.dedupSemantic(s, d)),
 
     // ---- page combine / LDIF / DNS shaping (SURVEY §2.4 A2, §2.8 F15/F16/F12, §2.2 P7) ----
     "odata_page_combine" -> ((s, d) => PageOps.odataPageCombine(s, d)),
@@ -508,6 +512,34 @@ object SparkEntry {
         |       CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
         |       CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) AS pack_last
         |FROM o ORDER BY doc_id""".stripMargin,
+    // Transcript packing: the oracle recomputes the converged conversation
+    // table from events alone (the cdc_lww_window LWW rule), sums each
+    // conversation's live-turn text lengths (the deterministic token
+    // proxy), and packs conversations in conv_id order with the naive
+    // cumulative sum the distributed prefix scan must equal.
+    "transcript_pack" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed),
+        |live AS (SELECT conv_id, text FROM ranked WHERE rn = 1 AND op <> 'D'),
+        |tok AS (SELECT conv_id, CAST(sum(length(text)) AS BIGINT) AS n_tok
+        |        FROM live GROUP BY conv_id),
+        |o AS (SELECT conv_id, n_tok,
+        |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY conv_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS start_off
+        |      FROM tok)
+        |SELECT conv_id, n_tok, start_off,
+        |       CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
+        |       CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) AS pack_last
+        |FROM o ORDER BY conv_id""".stripMargin,
     // Benchmark decontamination: 5-gram overlap vs the derived benchmark set
     // (words 3..10 of every doc_id % 40 == 0 doc). Same shingle window
     // semantics as CurateOps.decontaminate / TextOps.shingles.
@@ -694,6 +726,37 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY qid, nid""".stripMargin,
+    // SemDeDup: the oracle re-runs the identical pipeline — the IVF
+    // hash-stratified centroid sample, nearest-cell assignment (with each
+    // vector's rounded centroid cosine), then the within-cell prune: b is
+    // dropped iff a cell-mate a with pair-cosine ≥ 0.30 ranks before it
+    // (lower centroid similarity first, id tie-break); kept_by = the
+    // ranking-first such a.
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hs AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM hs
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY (${dbyte("h", 1)}*256+${dbyte("h", 3)}) % 16
+        |    ORDER BY h, vec_id) = 1),
+        |ranked AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |         round(list_cosine_similarity(e.v, c.cv), 4) AS ccos,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cid) AS rn
+        |  FROM e, cent c),
+        |asn AS (SELECT cid, vec_id, v, ccos FROM ranked WHERE rn = 1),
+        |qual AS (
+        |  SELECT b.vec_id, a.vec_id AS kept_by, a.ccos AS ca,
+        |         round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |  FROM asn a JOIN asn b ON a.cid = b.cid
+        |   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.30)
+        |SELECT vec_id, kept_by, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ca, kept_by) AS rn
+        |  FROM qual)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // Every modality round-trips a REAL JDK codec; the oracle reproduces the
     // DECODED features from the generator formulas, never container bytes
     // (encoder-dependent). Image (PNG): pixel = (7x+13y+doc_id) mod 256.

@@ -59,6 +59,32 @@ object CdcQueries {
       .select("conv_id", "turn_idx", "role", "text", "value", "ts")
       .orderBy("conv_id", "turn_idx")
 
+  /** The transcripts→training-batches composition (axes A+B end-to-end):
+    * the CONVERGED conversation table (the CDC pipeline's output, LWW over
+    * the events-derived feed) is treated as the training corpus — each
+    * conversation is one training document whose token count is the summed
+    * `length(text)` of its live turns (a deterministic, oracle-reproducible
+    * proxy for a tokenizer) — and packed into fixed-`budget` training
+    * windows in conv_id order via [[PackOps.packOver]]'s two-phase
+    * distributed prefix scan (never a SinglePartition exchange; the
+    * conv_id's numeric suffix is the contiguous-range bucket key, valid
+    * because `conv-NNNN` zero-padding makes lexicographic == numeric
+    * order). At 100 TB this is the assembly step that turns a continuously
+    * maintained transcript table into training batches: one keyed
+    * aggregate over the live view + the O(parts) offset scan.
+    */
+  def transcriptPack(spark: SparkSession, sfDir: String, budget: Long = 512L): DataFrame = {
+    val conv = IceLite.read(spark, sharedUpsertTable(spark, sfDir))
+    val perConv = conv
+      .select(substring(col("conv_id"), 6, 10).cast("long").as("id"),
+        length(col("text")).cast("long").as("n"))
+      .groupBy("id").agg(sum("n").as("n_tok"))
+    PackOps.packOver(perConv, budget)
+      .select(concat(lit("conv-"), lpad(col("id").cast("string"), 4, "0")).as("conv_id"),
+        col("n_tok"), col("start_off"), col("pack_first"), col("pack_last"))
+      .orderBy("conv_id")
+  }
+
   /** P3 bucket pruning as a driver query (the scope-restricted read,
     * InsecureLDAPProcessor.java:491-502 precedent): a keyed slice served
     * through `IceLite.readStored(buckets = ...)` — the scan opens ONLY the

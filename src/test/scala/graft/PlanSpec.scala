@@ -173,6 +173,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), s"expected the scan-level rate filter:\n$p")
   }
 
+  test("dedup_semantic: within-cell pairs via a cid equi-join, never a corpus cross-join") {
+    val p = plan("dedup_semantic")
+    // the centroid RANKING is a broadcast nested loop against nlist=16 rows
+    // (bounded, same as sim_ann_ivf); the PAIR stage must be an equi-join
+    // on the cell id — a shuffled cartesian would be the O(n²) killer.
+    assert(!p.contains("CartesianProduct"), s"semantic dedup must never cross-join the corpus:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected the within-cell equi-join on cid:\n$p")
+  }
+
+  test("transcript_pack: global offsets WITHOUT a single-partition exchange") {
+    val p = plan("transcript_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"transcript packing fell back to a global-order window:\n$p")
+  }
+
   test("auth_token_chain / dns_shape: stateless codegen'd projections — no join, no aggregate") {
     // Both operators are pure per-row shaping; at 100 TB they must compose
     // with the scan (the only exchange is the presentation sort).
