@@ -48,12 +48,17 @@ object BenchChanges {
         // whole pre-cutoff generations.
         val nConvs = args.lift(2).map(_.toInt)
           .getOrElse(math.max(1000, (nEvents / 200).toInt))
+        // Optional fourth arg: phase-1 share in percent (default 90). 99
+        // models the per-batch steady state — ONE small new batch against a
+        // big converged table — where the incremental consumer's advantage
+        // is the whole point.
+        val cutPct = args.lift(3).map(_.toLong).getOrElse(90L)
         val l = FeedGen.synthetic(spark, None, nEvents,
             nConvs = nConvs, turnsPerConv = 20,
             nBatches = 10, filesPerBatch = 32)
           .select("value")
           .withColumn("_lsn", get_json_object(col("value"), "$.lsn").cast("long"))
-        (l, nEvents * 9 / 10, 64, 32)
+        (l, nEvents * cutPct / 100, 64, 32)
       } else {
         val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
         val ev = spark.read.parquet(s"$sfDir/events.parquet")

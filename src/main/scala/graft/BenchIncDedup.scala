@@ -23,6 +23,14 @@ import java.util.Comparator
   * Usage: runMain graft.BenchIncDedup [batches] [batchSize] [wholeonly]
   * (`wholeonly` skips the incremental loop — for timing the corpus-wide
   * re-dedup alone at larger sizes, to locate the crossover.)
+  *
+  * `tail <size>` appends a steady-state experiment: after the equal-size
+  * state-building batches, six SMALL batches of `size` docs are applied,
+  * alternating the state-side Bloom prune OFF/ON — the controlled A/B for
+  * [[IncrementalDedup.Config.stateBloomFpp]] in the regime it targets
+  * (tiny arrival probing a large stored state, the CDC steady state),
+  * where the bloom build cost is O(batch) but the pruned exchange is
+  * O(state).
   */
 object BenchIncDedup {
 
@@ -58,10 +66,14 @@ object BenchIncDedup {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tailIdx = args.indexOf("tail")
+    val tailBatches = if (tailIdx >= 0) 6 else 0
+    val tailSize = if (tailIdx >= 0)
+      args.lift(tailIdx + 1).map(_.toInt).getOrElse(100000) else 0
     try {
-      val all = corpus(spark, n, batchSize).persist()
+      val all = corpus(spark, n + tailBatches * tailSize, batchSize).persist()
       all.count() // materialize so generation cost is not timed
-      val cfg = IncrementalDedup.Config(s"$work/state")
+      val cfg = IncrementalDedup.Config(s"$work/state", stateBloomFpp = None)
       val wholeOnly = args.contains("wholeonly")
       (0 until (if (wholeOnly) 0 else batches)).foreach { b =>
         val batch = all.filter(col("doc_id") >= b.toLong * batchSize &&
@@ -70,6 +82,18 @@ object BenchIncDedup {
         val kept = IncrementalDedup.applyBatch(spark, batch, b.toLong, cfg)
         System.err.println(f"[incdedup] batch $b%2d: ${(System.nanoTime() - t0) / 1e9}%6.2fs " +
           f"($kept survivors of $batchSize; stored state ${b.toLong * batchSize} docs)")
+      }
+      // Steady-state A/B: small arrivals against the full built state,
+      // alternating the Bloom prune OFF (even) / ON (odd).
+      (0 until tailBatches).foreach { tb =>
+        val lo = n.toLong + tb.toLong * tailSize
+        val batch = all.filter(col("doc_id") >= lo && col("doc_id") < lo + tailSize)
+        val c = cfg.copy(stateBloomFpp = if (tb % 2 == 1) Some(0.005) else None)
+        val t0 = System.nanoTime()
+        val kept = IncrementalDedup.applyBatch(spark, batch, (batches + tb).toLong, c)
+        System.err.println(f"[incdedup] tail $tb%2d bloom=${c.stateBloomFpp.isDefined}%-5s: " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2fs ($kept survivors of $tailSize; " +
+          f"stored state ${n.toLong + tb.toLong * tailSize} docs)")
       }
       // The alternative a stateless pipeline pays on EVERY batch arrival:
       // whole-corpus candidate generation + verify over all n docs.

@@ -49,8 +49,25 @@ import org.apache.spark.sql.types._
   */
 object IncrementalDedup {
 
+  /** `stateBloomFpp`: the banding probe builds a Bloom filter of the
+    * batch's band keys and drops state rows that cannot match BEFORE the
+    * candidate equi-join. Membership is tested for STATE keys against the
+    * BATCH key set, and Bloom filters have no false negatives — a state key
+    * equal to any batch key always passes — so the pruned join returns the
+    * EXACT same candidate set (false positives only add rows the join
+    * discards). Without it the join shuffles the whole state band slice —
+    * the only per-batch cost term that grows with stored state; with it
+    * the state side shrinks to matches + fpp before the exchange. Measured
+    * (BenchIncDedup A/B, local[32]): at EQUAL 1M-doc batches vs 1–5M-doc
+    * state the bloom build (O(batch) band keys) cancels the savings —
+    * end-to-end neutral; in the STEADY STATE the knob targets (100k-doc
+    * arrivals vs a 5M-doc state) the state-probe lap drops 10.3 s → 5.6 s
+    * median (~1.8×), and the win grows with the state:batch ratio — at a
+    * 10^10-doc state the unpruned exchange is simply unrunnable. `None`
+    * disables (the pre-round-5 behavior).
+    */
   case class Config(stateDir: String, numHashes: Int = 16, threshold: Double = 0.5,
-                    numBuckets: Int = 32)
+                    numBuckets: Int = 32, stateBloomFpp: Option[Double] = Some(0.005))
 
   private def sigIndexPath(cfg: Config) = s"${cfg.stateDir}/sigindex"
   private def docSigsPath(cfg: Config) = s"${cfg.stateDir}/docsigs"
@@ -110,8 +127,21 @@ object IncrementalDedup {
         lap("probe_bands")
         // ---- candidates: every (smaller id, batch id) pair sharing a band
         // key — state rows and the batch itself on the left, batch on the
-        // right; one keyed equi-join, never all-pairs.
-        val left = stateBands.map(_.unionByName(bands)).getOrElse(bands)
+        // right; one keyed equi-join, never all-pairs. The state side is
+        // Bloom-pruned by the batch's band-key set first (see Config: no
+        // false negatives ⇒ identical candidates, ~matches+fpp rows instead
+        // of the whole state slice through the exchange).
+        val pruned = stateBands.map { sb =>
+          cfg.stateBloomFpp match {
+            case Some(fpp) =>
+              val bf = bands.stat.bloomFilter("bk", math.max(bands.count(), 1L), fpp)
+              val bc = spark.sparkContext.broadcast(bf)
+              val might = udf((s: String) => bc.value.mightContainString(s))
+              sb.filter(might(col("bk")))
+            case None => sb
+          }
+        }
+        val left = pruned.map(_.unionByName(bands)).getOrElse(bands)
         // Persisted: the docsigs bucket-id probe below is an action on this
         // frame, and the verify join consumes it again — without the barrier
         // the band equi-join runs twice per batch.

@@ -43,7 +43,10 @@ class IncrementalDedupPropertySpec extends AnyFunSuite {
     val prop = Prop.forAllNoShrink(genCase) { case (docs, nBatches) =>
       caseN += 1
       val dir = TestSpark.freshDir(s"incdedup-prop-$caseN")
-      val cfg = IncrementalDedup.Config(dir, numBuckets = 4)
+      // Alternate the state-side Bloom prune so BOTH probe paths are held
+      // to the same brute-force reference (the prune must be invisible).
+      val cfg = IncrementalDedup.Config(dir, numBuckets = 4,
+        stateBloomFpp = if (caseN % 2 == 0) None else Some(0.005))
       val per = math.max(1, (docs.size + nBatches - 1) / nBatches)
       docs.sortBy(_._1).grouped(per).zipWithIndex.foreach { case (batch, i) =>
         IncrementalDedup.applyBatch(spark, batch.toDF("doc_id", "text"), i.toLong, cfg)
