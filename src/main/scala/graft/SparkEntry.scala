@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_replay_audit" -> ((s, d) => CdcQueries.replayAudit(s, d)),
     "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
+    "cdc_time_travel" -> ((s, d) => CdcQueries.timeTravelRead(s, d)),
     "sessionize" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "sessionize_changes" -> ((s, d) => CdcQueries.sessionizeChanges(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
@@ -902,6 +903,26 @@ object SparkEntry {
         |       CASE WHEN op = 'D' THEN NULL ELSE "value" END AS "value",
         |       lsn
         |FROM ranked WHERE rn = 1
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Time travel: converged live state AS OF the phase-1 snapshot — LWW
+    // winner per key among events with lsn ≤ the cutoff, deletes dropped —
+    // read back after phase 2 fully committed over it.
+    "cdc_time_travel" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events
+        |  WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)),
+        |ranked AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f)
+        |SELECT conv_id, turn_idx, role, text, "value"
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY conv_id, turn_idx""".stripMargin,
     // Sessionized-view refresh delta: LWW winner per (conv, turn) key →
     // conversations touched after the phase-1 cutoff (any key whose winner

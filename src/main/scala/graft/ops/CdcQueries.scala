@@ -220,6 +220,35 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Time travel as a driver query: the same two-phase LSN-staged replay as
+    * [[changesSinceUpsert]], but read back AS OF the phase-1 snapshot AFTER
+    * phase 2 has fully committed over it — `IceLite.readAt` must return the
+    * phase-1 live rows bit-for-bit even though every bucket has since taken
+    * more deltas (and possibly compactions). The DuckDB oracle recomputes
+    * phase-1 converged state from events alone: LWW winner per key among
+    * events with lsn ≤ the cutoff, deletes dropped.
+    */
+  def timeTravelRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("timetravel", sfDir)
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(s"$base/table").version
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    IceLite.readAt(spark, s"$base/table", vA)
+      .select("conv_id", "turn_idx", "role", "text", "value")
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** St6 × incremental-read composition: transcript assembly as a DERIVED-
     * TABLE CONSUMER of the converged conversation table — the end-to-end
     * conversation-pipeline story (CDC feed → converged icelite table →

@@ -466,6 +466,18 @@ object IceLite {
     readSnapshot(spark, path, snap)
   }
 
+  /** Time-travel read: live rows exactly as of snapshot `version` — the
+    * Iceberg `VERSION AS OF` analogue. Snapshots are immutable and their
+    * manifests list the data files by name, so later appends, compactions,
+    * and rebuckets never disturb an old read (they write NEW dirs and a NEW
+    * snapshot; the old files stay until [[vacuum]] expires them — the same
+    * retention caveat as any table format's time travel). The result is
+    * read under the OLD schema version, aligned the same way cross-version
+    * unions are.
+    */
+  def readAt(spark: SparkSession, path: String, version: Int): DataFrame =
+    readSnapshot(spark, path, loadVersion(path, f"v$version%05d.json"))
+
   def readSnapshot(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
     val publicCols = snap.schema.fieldNames.filterNot(n => n == LsnCol || n == DeletedCol)
     readStored(spark, path, snap)
