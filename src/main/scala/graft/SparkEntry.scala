@@ -32,6 +32,7 @@ object SparkEntry {
     "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
     "cdc_time_travel" -> ((s, d) => CdcQueries.timeTravelRead(s, d)),
+    "cdc_rollback_replay" -> ((s, d) => CdcQueries.rollbackReplay(s, d)),
     "sessionize" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "sessionize_changes" -> ((s, d) => CdcQueries.sessionizeChanges(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
@@ -918,6 +919,26 @@ object SparkEntry {
         |         "value"
         |  FROM events
         |  WHERE event_id <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)),
+        |ranked AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f)
+        |SELECT conv_id, turn_idx, role, text, "value"
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Point-in-time recovery: rollback to the phase-1 snapshot then a
+    // fresh-checkpoint re-replay of the whole feed must converge to the
+    // straight-through full-feed LWW state — the oracle never heard of the
+    // rollback.
+    "cdc_rollback_replay" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
         |ranked AS (
         |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
         |  FROM feed f)

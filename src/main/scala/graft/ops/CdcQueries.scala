@@ -249,6 +249,37 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Point-in-time recovery as a driver query: a two-phase replay, then the
+    * table is ROLLED BACK to the phase-1 snapshot (undoing phase 2's data
+    * AND its epoch watermark), then the whole feed is re-replayed from a
+    * FRESH checkpoint. Phase-1 epochs no-op via the exactly-once guard;
+    * phase-2 epochs re-apply over the rolled-back state. The result must be
+    * bit-identical to a straight-through replay — the DuckDB oracle is the
+    * plain full-feed LWW converged state, which never heard of the rollback.
+    */
+  def rollbackReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("rollback", sfDir)
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(s"$base/table").version
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg)
+    IceLite.rollback(s"$base/table", vA) // undo phase 2
+    Pipeline.replay(spark, cfg.copy(checkpointDir = s"$base/ckpt2")) // recover
+    IceLite.read(spark, s"$base/table")
+      .select("conv_id", "turn_idx", "role", "text", "value")
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** St6 × incremental-read composition: transcript assembly as a DERIVED-
     * TABLE CONSUMER of the converged conversation table — the end-to-end
     * conversation-pipeline story (CDC feed → converged icelite table →

@@ -380,6 +380,30 @@ object IceLite {
     * shape as compaction, and each rewrite parallelizes per NEW bucket
     * (`salt` tasks per bucket when large, like compaction's salted rewrite).
     */
+  /** Roll the table back to snapshot `toVersion` — point-in-time recovery
+    * from a bad batch or bad deploy. Like Iceberg's rollback this never
+    * rewrites history: it commits a NEW snapshot whose content (entries,
+    * schema versions, epoch watermark, LSN high-watermark) is `toVersion`'s,
+    * through the same locked CAS commit as any write, so concurrent-writer
+    * protection and the version chain stay intact and [[readAt]] still sees
+    * the rolled-over versions (until [[vacuum]] expires them). Because the
+    * exactly-once epoch watermark rolls back WITH the data, re-replaying the
+    * feed re-applies exactly the rolled-back epochs (pre-rollback epochs
+    * no-op via the guard; re-applied ones write fresh version-named dirs,
+    * never touching files older snapshots reference) and converges to
+    * bit-identical state — the replay-from-any-checkpoint contract as an
+    * operator-driven recovery verb.
+    */
+  def rollback(path: String, toVersion: Int): Snapshot = {
+    val cur = load(path)
+    require(toVersion >= 0 && toVersion <= cur.version,
+      s"rollback target v$toVersion out of range (current v${cur.version})")
+    val target = loadVersion(path, f"v$toVersion%05d.json")
+    val next = target.copy(version = cur.version + 1)
+    commitSnapshot(path, next)
+    next
+  }
+
   def rebucket(spark: SparkSession, path: String, newNumBuckets: Int): Snapshot = {
     require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
     val snap = load(path)
