@@ -33,6 +33,8 @@ object SparkEntry {
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
     "cdc_time_travel" -> ((s, d) => CdcQueries.timeTravelRead(s, d)),
     "cdc_rollback_replay" -> ((s, d) => CdcQueries.rollbackReplay(s, d)),
+    "cdc_wap_publish" -> ((s, d) => CdcQueries.wapPublish(s, d)),
+    "cdc_wap_abort" -> ((s, d) => CdcQueries.wapAbort(s, d)),
     "sessionize" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "sessionize_changes" -> ((s, d) => CdcQueries.sessionizeChanges(s, d)),
     "schema_infer_props" -> ((s, d) => CdcQueries.inferPropsSchema(s, d)),
@@ -945,6 +947,85 @@ object SparkEntry {
         |SELECT conv_id, turn_idx, role, text, "value"
         |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Write-audit-publish, passing gate: the consumer view DURING staging is
+    // phase-1 converged state (isolation), the audit counts violations over
+    // the staged live winners (zero on the clean feed), and the view after
+    // publish is the full converged state.
+    "cdc_wap_publish" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |cutoff AS (
+        |  SELECT max(lsn) AS l FROM feed
+        |  WHERE lsn <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)),
+        |p1 AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f, cutoff c WHERE f.lsn <= c.l),
+        |fullr AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f),
+        |staged AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f, cutoff c WHERE f.lsn > c.l)
+        |SELECT * FROM (
+        |  SELECT 'staged_view' AS phase, conv_id, turn_idx, role, text, "value",
+        |         CAST(NULL AS BIGINT) AS n
+        |  FROM p1 WHERE rn = 1 AND op <> 'D'
+        |  UNION ALL
+        |  SELECT 'audit', 'role_not_null', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+        |         (SELECT count(*) FROM staged WHERE rn = 1 AND op <> 'D' AND role IS NULL)
+        |  UNION ALL
+        |  SELECT 'audit', 'text_not_null', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+        |         (SELECT count(*) FROM staged WHERE rn = 1 AND op <> 'D' AND text IS NULL)
+        |  UNION ALL
+        |  SELECT 'published_view', conv_id, turn_idx, role, text, "value", CAST(NULL AS BIGINT)
+        |  FROM fullr WHERE rn = 1 AND op <> 'D')
+        |ORDER BY phase, conv_id, turn_idx""".stripMargin,
+    // Write-audit-publish, failing gate: phase 2 poisons every 7th LSN's
+    // upsert text; the audit counts staged live winners with null text, and
+    // after abort the consumer view is exactly phase-1 state.
+    "cdc_wap_abort" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |cutoff AS (
+        |  SELECT max(lsn) AS l FROM feed
+        |  WHERE lsn <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)),
+        |poisoned AS (
+        |  SELECT lsn, conv_id, turn_idx, op, role,
+        |         CASE WHEN op = 'U' AND lsn > c.l AND lsn % 7 = 0 THEN NULL
+        |              ELSE text END AS text,
+        |         "value"
+        |  FROM feed, cutoff c),
+        |p1 AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM poisoned f, cutoff c WHERE f.lsn <= c.l),
+        |staged AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM poisoned f, cutoff c WHERE f.lsn > c.l)
+        |SELECT * FROM (
+        |  SELECT 'audit' AS phase, 'text_not_null' AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
+        |         CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text,
+        |         CAST(NULL AS DOUBLE) AS "value",
+        |         (SELECT count(*) FROM staged WHERE rn = 1 AND op <> 'D' AND text IS NULL) AS n
+        |  UNION ALL
+        |  SELECT 'after_abort', conv_id, turn_idx, role, text, "value", CAST(NULL AS BIGINT)
+        |  FROM p1 WHERE rn = 1 AND op <> 'D')
+        |ORDER BY phase, conv_id, turn_idx""".stripMargin,
     // Sessionized-view refresh delta: LWW winner per (conv, turn) key →
     // conversations touched after the phase-1 cutoff (any key whose winner
     // lsn > cutoff — exactly the keys changesSince emits) → 24 h gap

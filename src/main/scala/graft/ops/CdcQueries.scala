@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.cdc.{Feed, FeedGen, MergeApply, Pipeline}
 import graft.infer.SchemaInfer
-import graft.table.IceLite
+import graft.table.{Audit, IceLite}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -278,6 +278,94 @@ object CdcQueries {
     IceLite.read(spark, s"$base/table")
       .select("conv_id", "turn_idx", "role", "text", "value")
       .orderBy("conv_id", "turn_idx")
+  }
+
+  /** Write-audit-publish as a driver query: phase 1 of the LSN-split feed
+    * replays and publishes; phase 2 replays inside a STAGING window
+    * ([[IceLite.beginStage]]), during which the consumer read must still
+    * return phase-1 state (snapshot isolation from unaudited data); the
+    * audit gate ([[Audit.stagedViolations]]) scans ONLY the staged net
+    * change — O(staged batch) via the LSN zone maps, never O(table) — and
+    * passes; [[IceLite.publish]] fast-forwards the ref and the consumer
+    * read becomes the full converged state. The result stacks all three
+    * observations (staged view / audit counts / published view) so the
+    * DuckDB oracle independently recomputes each from events.parquet alone.
+    */
+  def wapPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("wap", sfDir)
+    val table = s"$base/table"
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    IceLite.beginStage(table)
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // staged: head advances, published ref pinned
+
+    def tagged(df: DataFrame, tag: String) = df.select(
+      lit(tag).as("phase"), col("conv_id"), col("turn_idx"), col("role"),
+      col("text"), col("value"), lit(null).cast("long").as("n"))
+    val staged = tagged(IceLite.read(spark, table), "staged_view")
+    val audit = Audit.stagedViolations(spark, table, Seq(
+      "role_not_null" -> "role IS NOT NULL",
+      "text_not_null" -> "text IS NOT NULL"))
+      .select(lit("audit").as("phase"), col("constraint").as("conv_id"),
+        lit(null).cast("int").as("turn_idx"), lit(null).cast("string").as("role"),
+        lit(null).cast("string").as("text"), lit(null).cast("double").as("value"),
+        col("violations").as("n"))
+    IceLite.publish(table)
+    val published = tagged(IceLite.read(spark, table), "published_view")
+    staged.unionByName(audit).unionByName(published)
+      .orderBy("phase", "conv_id", "turn_idx")
+  }
+
+  /** The failing-audit branch of write-audit-publish: phase 2 is POISONED
+    * (every 7th LSN's upsert carries a null text) and staged; the audit
+    * gate counts the staged live winners violating `text IS NOT NULL`, and
+    * [[IceLite.abortStage]] rolls the head back to the published snapshot —
+    * the consumer view after abort is exactly phase-1 state, and the epoch
+    * watermark rolled back with it (the corrected feed can replay, as
+    * `cdc_rollback_replay` pins). The oracle recomputes the violation count
+    * and the restored view from events.parquet alone.
+    */
+  def wapAbort(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("wapabort", sfDir)
+    val table = s"$base/table"
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val poisoned = ev.withColumn("text",
+      when(col("op") === "U" && col("lsn") > half && col("lsn") % 7 === 0,
+        lit(null).cast("string")).otherwise(col("text")))
+    val lines = poisoned.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    IceLite.beginStage(table)
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg)
+    val audit = Audit.stagedViolations(spark, table,
+      Seq("text_not_null" -> "text IS NOT NULL"))
+      .select(lit("audit").as("phase"), col("constraint").as("conv_id"),
+        lit(null).cast("int").as("turn_idx"), lit(null).cast("string").as("role"),
+        lit(null).cast("string").as("text"), lit(null).cast("double").as("value"),
+        col("violations").as("n"))
+    IceLite.abortStage(table) // gate failed: restore the published content
+    val restored = IceLite.read(spark, table).select(
+      lit("after_abort").as("phase"), col("conv_id"), col("turn_idx"),
+      col("role"), col("text"), col("value"), lit(null).cast("long").as("n"))
+    audit.unionByName(restored).orderBy("phase", "conv_id", "turn_idx")
   }
 
   /** St6 × incremental-read composition: transcript assembly as a DERIVED-

@@ -208,7 +208,15 @@ object IceLite {
     * committed; with no live competitor the token verify trivially passes).
     * A crash while holding `_commit.lock` releases it with the process.
     */
-  def commitSnapshot(path: String, snap: Snapshot): Unit = {
+  def commitSnapshot(path: String, snap: Snapshot): Unit =
+    withCommitLock(path)(metaDir => commitLocked(path, metaDir, snap))
+
+  /** Run `body` holding the table's exclusive commit lock (same-JVM monitor
+    * + `meta/_commit.lock` FileChannel lock — see [[commitSnapshot]] fences).
+    * Ref updates ([[beginStage]]/[[publish]]) share it with commits so a ref
+    * swing never interleaves a claim→swing→verify sequence.
+    */
+  private def withCommitLock[A](path: String)(body: Path => A): A = {
     val metaDir = Paths.get(path, "meta")
     val monitor = commitMonitors.computeIfAbsent(
       metaDir.toAbsolutePath.toString, _ => new Object)
@@ -217,7 +225,7 @@ object IceLite {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
       try {
         val flock = ch.lock()
-        try commitLocked(path, metaDir, snap)
+        try body(metaDir)
         finally flock.release()
       } finally ch.close()
     }
@@ -261,6 +269,14 @@ object IceLite {
     if (committedToken != token) throw new java.util.ConcurrentModificationException(
       s"icelite commit conflict at $path: lost the claim race for $name " +
         "(a concurrent writer reclaimed the version file; this commit never became visible)")
+    // WAP ref maintenance (still under the commit lock): once a table has a
+    // `_published` ref, every NON-staged commit fast-forwards it alongside
+    // `_current`; while `_staging` exists the ref stays pinned, so published
+    // readers keep snapshot isolation from the unaudited head. Tables that
+    // never staged have no ref file and pay zero extra I/O here.
+    if (Files.exists(metaDir.resolve(PublishedRef)) &&
+        !Files.exists(metaDir.resolve(StagingMarker)))
+      swingRef(metaDir, name)
   }
 
   /** Write snapshot JSON atomically and swing the `_current` pointer.
@@ -331,7 +347,11 @@ object IceLite {
     */
   def vacuum(path: String, keepVersions: Int = 1): Seq[String] = {
     val cur = load(path)
-    val retained = (math.max(0, cur.version - keepVersions + 1) to cur.version).flatMap { v =>
+    // The published ref must stay readable however far the staged head has
+    // run ahead of it — retain its snapshot alongside the newest-K window.
+    val keep = ((math.max(0, cur.version - keepVersions + 1) to cur.version)
+      :+ publishedVersion(path)).distinct
+    val retained = keep.flatMap { v =>
       try Some(loadVersion(path, f"v$v%05d.json")) catch { case _: Exception => None }
     }
     val referenced: Set[String] = retained.flatMap(s =>
@@ -402,6 +422,81 @@ object IceLite {
     val next = target.copy(version = cur.version + 1)
     commitSnapshot(path, next)
     next
+  }
+
+  // -------------------------------------------- write-audit-publish (refs)
+
+  private val PublishedRef = "_published"
+  private val StagingMarker = "_staging"
+
+  private def currentName(metaDir: Path): String =
+    new String(Files.readAllBytes(metaDir.resolve("_current")), "UTF-8").trim
+
+  private def swingRef(metaDir: Path, name: String): Unit = {
+    val tmp = metaDir.resolve(PublishedRef + ".tmp")
+    Files.write(tmp, name.getBytes("UTF-8"))
+    Files.move(tmp, metaDir.resolve(PublishedRef),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The version consumer reads resolve to: the `_published` ref when the
+    * table has one (WAP mode has been used), else the head — so a table that
+    * never staged behaves exactly as before the ref existed.
+    */
+  def publishedVersion(path: String): Int = {
+    val metaDir = Paths.get(path, "meta")
+    val f = metaDir.resolve(PublishedRef)
+    val name = if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8").trim
+               else currentName(metaDir)
+    name.stripPrefix("v").stripSuffix(".json").toInt
+  }
+
+  def loadPublished(path: String): Snapshot =
+    loadVersion(path, f"v${publishedVersion(path)}%05d.json")
+
+  def isStaging(path: String): Boolean =
+    Files.exists(Paths.get(path, "meta", StagingMarker))
+
+  /** Begin a write-audit-publish window (Iceberg WAP / Delta shallow-clone
+    * staging analogue): pin the `_published` ref at the current head and
+    * raise the `_staging` marker. Subsequent commits advance the head as
+    * usual — same chain, same CAS, exactly-once watermark intact — but
+    * consumer reads ([[read]], [[changesSince]]) stay at the pinned ref, so
+    * unaudited data is invisible until [[publish]]. Audit queries read the
+    * head explicitly ([[load]] + [[readSnapshot]], or [[Audit]]'s staged-
+    * delta pass). Idempotent: re-entering an open window is a no-op.
+    * Returns the pinned (published) version.
+    */
+  def beginStage(path: String): Int = withCommitLock(path) { metaDir =>
+    if (!Files.exists(metaDir.resolve(PublishedRef)))
+      swingRef(metaDir, currentName(metaDir))
+    val m = metaDir.resolve(StagingMarker)
+    if (!Files.exists(m)) Files.write(m, Array.emptyByteArray)
+    publishedVersion(path)
+  }
+
+  /** Publish the staged head: fast-forward `_published` to `_current` and
+    * close the staging window. Atomic from a reader's view — the ref swing
+    * is one atomic move, and every snapshot it can point at is fully
+    * committed. Also the no-staging no-op ("publish what's already live").
+    */
+  def publish(path: String): Snapshot = withCommitLock(path) { metaDir =>
+    swingRef(metaDir, currentName(metaDir))
+    Files.deleteIfExists(metaDir.resolve(StagingMarker))
+    load(path)
+  }
+
+  /** Abort the staging window: the head is [[rollback]]ed to the published
+    * snapshot's content (a NEW commit — history preserved, staged versions
+    * stay inspectable until vacuum) and the window closes with `_published`
+    * fast-forwarded to that restoring commit. Because rollback restores the
+    * epoch watermark too, a corrected feed replays the aborted epochs from a
+    * fresh checkpoint exactly as in [[rollback]]'s recovery contract.
+    */
+  def abortStage(path: String): Snapshot = {
+    val pinned = publishedVersion(path)
+    rollback(path, pinned) // staged window still open → ref stays pinned
+    publish(path)
   }
 
   def rebucket(spark: SparkSession, path: String, newNumBuckets: Int): Snapshot = {
@@ -484,9 +579,14 @@ object IceLite {
       .select(KeyCols.map(col) ++ others.map(n => col("_w").getField(n).as(n)): _*)
   }
 
-  /** Live rows under the public schema (tombstones and internals dropped). */
+  /** Live rows under the public schema (tombstones and internals dropped).
+    * Resolves the PUBLISHED ref: during a write-audit-publish window this is
+    * the last audited snapshot, not the staged head (which auditors read via
+    * [[load]] + [[readSnapshot]]). Tables that never staged have no ref and
+    * read the head, as always.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val snap = load(path)
+    val snap = loadPublished(path)
     readSnapshot(spark, path, snap)
   }
 
@@ -539,7 +639,7 @@ object IceLite {
     * LWW diff — conservative, never wrong.
     */
   def changesSince(spark: SparkSession, path: String, sinceVersion: Int): DataFrame =
-    changesBetween(spark, path, sinceVersion, load(path).version)
+    changesBetween(spark, path, sinceVersion, publishedVersion(path))
 
   /** [[changesSince]] generalized to a historical window: the net change
     * per key between snapshots `sinceVersion` and `untilVersion` — rows of
