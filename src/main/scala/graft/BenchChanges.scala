@@ -85,12 +85,36 @@ object BenchChanges {
     Pipeline.replay(spark, cfg)
     val p1Sec = (System.nanoTime() - t1) / 1e9
     val vA = IceLite.load(s"$base/table").version
+    // Phase 2 runs inside a real write-audit-publish window: the audit
+    // measurement below exercises the production gate, not a simulation.
+    IceLite.beginStage(s"$base/table")
     FeedGen.writeFeed(lines.filter(col("_lsn") > cut).drop("_lsn"), s"$base/feed/p2",
       files = math.max(2, p1Files / 8))
     val t2 = System.nanoTime()
     Pipeline.replay(spark, cfg)
     val p2Sec = (System.nanoTime() - t2) / 1e9
     System.err.println(f"[bench-changes] p1 replay ${p1Sec}%.1fs, p2 replay ${p2Sec}%.1fs")
+
+    // WAP audit gate: staged-net-change pass (zone-map-pruned to the staged
+    // deltas) vs the naive full-table audit a gate WITHOUT incremental reads
+    // would pay. Same constraints, same answer shape; the cost is the claim.
+    val gateConstraints = Seq(
+      "role_not_null" -> "role IS NOT NULL",
+      "text_not_null" -> "text IS NOT NULL")
+    val staged = graft.table.Audit.stagedViolations(spark, s"$base/table", gateConstraints)
+    val headLive = IceLite.readSnapshot(spark, s"$base/table", IceLite.load(s"$base/table"))
+    val fullGate = graft.table.Audit.violations(headLive, gateConstraints)
+    val stagedFiles = staged.inputFiles.length
+    val fullGateFiles = fullGate.inputFiles.length
+    val ta = System.nanoTime(); staged.collect()
+    val stagedSec = (System.nanoTime() - ta) / 1e9
+    val tb = System.nanoTime(); fullGate.collect()
+    val fullGateSec = (System.nanoTime() - tb) / 1e9
+    println(f"[bench-audit] staged gate files=$stagedFiles ${stagedSec}%.2fs | " +
+      f"full-table gate files=$fullGateFiles ${fullGateSec}%.2fs | " +
+      f"file ratio ${fullGateFiles.toDouble / math.max(stagedFiles, 1)}%.1fx, " +
+      f"time ratio ${fullGateSec / math.max(stagedSec, 1e-9)}%.1fx")
+    IceLite.publish(s"$base/table")
 
     val snap = IceLite.load(s"$base/table")
     def timed[T](f: => T): (T, Double) = {

@@ -123,6 +123,25 @@ class WapSpec extends AnyFunSuite {
       .filter(col("text").startsWith("v4-")).count() === 8)
   }
 
+  test("audit scans only staged delta files — O(staged batch), never O(table)") {
+    import spark.implicits._
+    val dir = mkTable("wap-prune")
+    MergeApply.applyRaw(spark, dir,
+      (0 until 32).map(k => line("I", k + 1L, k, s"base-$k")).toDF("value"), 0L)
+    IceLite.beginStage(dir)
+    MergeApply.applyRaw(spark, dir,
+      (0 until 3).map(k => line("U", 100 + k, k, s"staged-$k")).toDF("value"), 1L)
+    val gate = Audit.stagedViolations(spark, dir,
+      Seq("text_not_null" -> "text IS NOT NULL"))
+    // Manifest-level LSN zone maps: the published-batch files are never
+    // opened by the audit pass, only the staged version's deltas.
+    assert(gate.inputFiles.nonEmpty && gate.inputFiles.forall(_.contains("v00002")),
+      s"audit must open staged files only, opened: ${gate.inputFiles.mkString(", ")}")
+    val counts = gate.as[(String, Long)].collect().toMap
+    assert(counts("text_not_null") === 0L)
+    IceLite.publish(dir)
+  }
+
   test("audit violation semantics: NULL predicate counts as violation; empty stage passes") {
     import spark.implicits._
     val df = Seq(("a", Some(1)), ("b", None), ("c", Some(-1)))
