@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{BinaryDecoders, JsonSchemaRender, StatusRange}
-import graft.ops.{CdcQueries, CurateOps, GraphOps, MultimodalOps, PackOps, PageOps, TextOps, VectorOps}
+import graft.ops.{CdcQueries, CurateOps, GraphOps, MixOps, MultimodalOps, PackOps, PageOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -242,6 +242,7 @@ object SparkEntry {
     "rep_stats" -> ((s, d) => CurateOps.repetitionStats(s, d)),
     "pii_scrub" -> ((s, d) => CurateOps.piiScrub(s, d)),
     "sample_stratified" -> ((s, d) => CurateOps.sampleStratified(s, d)),
+    "mix_domains" -> ((s, d) => MixOps.mixLangs(s, d)),
     "curate_pipeline" -> ((s, d) => CurateOps.curatePipeline(s, d)),
 
     // ---- similarity search ----
@@ -619,6 +620,30 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $h16 < CASE lang $rateCase ELSE 0 END
          |ORDER BY doc_id""".stripMargin
+    },
+    // Exact domain-mixture resampling: T = min_d(n_d / w_d), each lang keeps
+    // its floor(w_d·T) lowest docs by (md5("mix-"||doc_id), doc_id) — the
+    // oracle's plain per-domain window rank must equal the engine's bucketed
+    // distributed rank row-for-row.
+    "mix_domains" -> {
+      val wsql = MixOps.LangWeights
+        .map { case (l, w) => s"SELECT '$l' AS domain, CAST($w AS DOUBLE) AS wt" }
+        .mkString(" UNION ALL ")
+      s"""WITH w AS ($wsql),
+         |c AS (SELECT lang AS domain, CAST(count(*) AS DOUBLE) AS n
+         |      FROM documents GROUP BY 1),
+         |t AS (SELECT min(COALESCE(c.n, 0) / w.wt) AS T
+         |      FROM w LEFT JOIN c USING (domain)),
+         |k AS (SELECT w.domain, CAST(floor(w.wt * t.T) AS BIGINT) AS kd FROM w, t),
+         |ranked AS (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY md5('mix-' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |SELECT r.doc_id, r.lang
+         |FROM ranked r JOIN k ON r.lang = k.domain
+         |WHERE r.rn <= k.kd
+         |ORDER BY lang, doc_id""".stripMargin
     },
     // The five-stage curation chain over the planted-dup corpus: near-dup
     // drop (smaller-id ≥0.5-Jaccard partner), decontamination (benchmark
