@@ -223,6 +223,7 @@ object SparkEntry {
     "dedup_cluster" -> ((s, d) => GraphOps.dedupCluster(s, d)),
     "dedup_cluster_inc" -> ((s, d) => CdcQueries.incrementalDedupCluster(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_substring" -> ((s, d) => TextOps.dedupSubstring(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     // Corpus-scale simhash config: 16-bit blocks + 1-bit multi-index
     // probes. SAME oracle as dedup_simhash — the driver proves the scaled
@@ -481,6 +482,28 @@ object SparkEntry {
       s"""WITH $corpusShingleSql
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact-substring pairs: docs sharing ≥1 exact 8-word window of
+    // lowercased text, windows in >16 docs dropped (the frequency cap is
+    // part of the semantics); short docs contribute their whole text.
+    "dedup_substring" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         array_to_string(string_split(text, ' ')[2:], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+        |win AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(0, greatest(len(w) - 8, 0) + 1),
+        |           i -> md5(array_to_string(w[(i+1):(i+8)], ' '))))) AS h
+        |  FROM w),
+        |rare AS (SELECT h FROM win GROUP BY h HAVING count(*) BETWEEN 2 AND 16)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_windows
+        |FROM win a JOIN rare USING (h) JOIN win b USING (h)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Survivors of the incremental (batch-staged) dedup = docs with no
     // ≥0.5-Jaccard partner of smaller id anywhere in the corpus (the rule is
     // batch-split-invariant); batch = which doc_id range the doc arrived in.

@@ -139,6 +139,40 @@ object TextOps {
       .select("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
 
+  /** Exact-substring duplicate pairs (the Lee et al. 2022 "Deduplicating
+    * Training Data" family, k-word-window form): two documents are a pair
+    * iff they share at least one exact k-word window of lowercased text —
+    * the signal MinHash misses when a long verbatim passage hides inside
+    * otherwise-different documents (Jaccard of the full shingle sets can be
+    * tiny while a whole paragraph is copied).
+    *
+    * Shape at 100 TB: explode distinct windows (no shuffle), hash each to a
+    * 32-hex key, count docs per window, and DROP windows appearing in more
+    * than `maxDocsPerWindow` docs — boilerplate k-grams would otherwise
+    * make the window-key self-join quadratic in the hottest key; with the
+    * cap, every join key carries ≤ cap rows and the pair explosion is
+    * bounded by cap² per window. The cap is part of the operator's
+    * semantics (mirrored in the oracle), the same frequency-cutoff trade
+    * the suffix-array implementations apply to promiscuous substrings.
+    * Docs shorter than k words contribute their whole text as one window
+    * (whole-short-doc exact match).
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String,
+                     k: Int = 8, maxDocsPerWindow: Int = 16): DataFrame = {
+    val corpus = withPlantedDups(spark, sfDir)
+    val win = corpus.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), k))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val rare = win.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxDocsPerWindow && col("n") >= 2)
+    val r = win.join(rare.select("h"), Seq("h"), "left_semi")
+    r.as("a").join(r.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard SCORES on LSH candidates (the verify stage of the
     * dedup pipeline, with the measured similarity retained).
     */
