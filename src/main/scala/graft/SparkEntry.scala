@@ -224,6 +224,7 @@ object SparkEntry {
     "dedup_cluster_inc" -> ((s, d) => CdcQueries.incrementalDedupCluster(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_substring" -> ((s, d) => TextOps.dedupSubstring(s, d)),
+    "lm_surprisal" -> ((s, d) => TextOps.lmSurprisal(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     // Corpus-scale simhash config: 16-bit blocks + 1-bit multi-index
     // probes. SAME oracle as dedup_simhash — the driver proves the scaled
@@ -482,6 +483,25 @@ object SparkEntry {
       s"""WITH $corpusShingleSql
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Corpus-unigram-LM quality score: integer bit-length surprisal
+    // (len(bin(N)) - len(bin(c)) per token, weighted by per-doc tf) — the
+    // perplexity-filter signal with no float log in the comparison path.
+    "lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE len(tok) > 0 GROUP BY 1, 2),
+        |vocab AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY 1),
+        |n AS (SELECT len(bin(sum(c))) AS nbits FROM vocab)
+        |SELECT tf.doc_id,
+        |       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf.tf * (n.nbits - len(bin(vocab.c)))) AS BIGINT) AS surprisal_bits,
+        |       CAST(sum(tf.tf * (n.nbits - len(bin(vocab.c)))) AS DOUBLE)
+        |         / CAST(sum(tf.tf) AS BIGINT) AS mean_bits
+        |FROM tf JOIN vocab USING (tok), n
+        |GROUP BY tf.doc_id
+        |ORDER BY tf.doc_id""".stripMargin,
     // Exact-substring pairs: docs sharing ≥1 exact 8-word window of
     // lowercased text, windows in >16 docs dropped (the frequency cap is
     // part of the semantics); short docs contribute their whole text.

@@ -173,6 +173,40 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-LM quality scoring (the CCNet/C4 "perplexity filter" family):
+    * a unigram LM is trained on the corpus itself (token counts over
+    * lowercased whitespace tokens) and every document is scored by its
+    * total and mean token surprisal — documents of rare-token-heavy text
+    * score high, boilerplate scores low, the standard split for
+    * quality-bucketing pretraining data.
+    *
+    * Surprisal is INTEGER bit-length surprisal, not float log-prob:
+    * bits(w) = len(bin(N)) - len(bin(c(w))) = floor-log2 of N/c(w) up to
+    * ±1 — monotone in true surprisal and exactly reproducible in any
+    * engine (no libm log in the comparison path; the only double is one
+    * final exact division). Shape at 100 TB: per-(doc, token) counts
+    * first (map-side combine collapses each doc's repeats), so the
+    * vocab join carries |distinct (doc,token)| rows, not token instances,
+    * and a hot stopword key joins one dim row against per-doc rows — AQE
+    * skew-split territory, never a collected vocab.
+    */
+  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir).select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("tok").agg(sum("tf").as("c"))
+    val n = vocab.agg(sum("c")).head.getLong(0)
+    val nBits = lit(java.lang.Long.toBinaryString(n).length)
+    tf.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * (nBits - length(bin(col("c"))))).as("surprisal_bits"))
+      .withColumn("mean_bits",
+        col("surprisal_bits").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard SCORES on LSH candidates (the verify stage of the
     * dedup pipeline, with the measured similarity retained).
     */
