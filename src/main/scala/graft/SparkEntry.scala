@@ -33,6 +33,7 @@ object SparkEntry {
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
     "cdc_time_travel" -> ((s, d) => CdcQueries.timeTravelRead(s, d)),
     "cdc_rollback_replay" -> ((s, d) => CdcQueries.rollbackReplay(s, d)),
+    "cdc_patch_upsert" -> ((s, d) => CdcQueries.patchUpsert(s, d)),
     "cdc_wap_publish" -> ((s, d) => CdcQueries.wapPublish(s, d)),
     "cdc_wap_abort" -> ((s, d) => CdcQueries.wapAbort(s, d)),
     "sessionize" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
@@ -871,6 +872,46 @@ object SparkEntry {
         |                p -> format('{:02x}', p)),
         |              (a, x) -> a || x)) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Partial-update merge: every cell recomputed independently — a column's
+    // value is the one at its latest setter (I sets all columns, U its
+    // non-null ones) AFTER the key's latest delete; the row is live iff the
+    // latest op is not D. arg_max over a struct keeps NULL values eligible
+    // (an I's explicit null must WIN, and DuckDB's bare arg_max skips null
+    // values); the CASE order column makes arg_max ignore non-setters.
+    "cdc_patch_upsert" ->
+      """WITH p AS (
+        |  SELECT event_id AS lsn,
+        |         CASE WHEN event_type = 'error' THEN 'D'
+        |              WHEN event_id % 5 = 0 THEN 'I' ELSE 'U' END AS op,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         event_type, "value" AS v, ts
+        |  FROM events),
+        |m AS (
+        |  SELECT lsn, op, conv_id, turn_idx,
+        |    CASE WHEN op = 'I' OR (op = 'U' AND lsn % 3 = 0) THEN event_type END AS role,
+        |    CASE WHEN op = 'I' OR (op = 'U' AND lsn % 3 IN (0, 2))
+        |         THEN event_type || '#' || CAST(lsn AS VARCHAR) END AS text,
+        |    CASE WHEN (op = 'I' AND lsn % 7 <> 0) OR (op = 'U' AND lsn % 3 = 1) THEN v END AS "value",
+        |    CASE WHEN op = 'I' OR (op = 'U' AND lsn % 3 = 2) THEN ts END AS ts
+        |  FROM p),
+        |d AS (
+        |  SELECT conv_id, turn_idx,
+        |         coalesce(max(CASE WHEN op = 'D' THEN lsn END), -1) AS dl
+        |  FROM m GROUP BY 1, 2)
+        |SELECT m.conv_id, m.turn_idx,
+        |  (arg_max({x: role}, CASE WHEN op <> 'D' AND lsn > dl
+        |     AND (op = 'I' OR role IS NOT NULL) THEN lsn END)).x AS role,
+        |  (arg_max({x: text}, CASE WHEN op <> 'D' AND lsn > dl
+        |     AND (op = 'I' OR text IS NOT NULL) THEN lsn END)).x AS text,
+        |  (arg_max({x: "value"}, CASE WHEN op <> 'D' AND lsn > dl
+        |     AND (op = 'I' OR "value" IS NOT NULL) THEN lsn END)).x AS "value",
+        |  (arg_max({x: ts}, CASE WHEN op <> 'D' AND lsn > dl
+        |     AND (op = 'I' OR ts IS NOT NULL) THEN lsn END)).x AS ts
+        |FROM m JOIN d USING (conv_id, turn_idx)
+        |GROUP BY 1, 2
+        |HAVING (arg_max({x: op}, lsn)).x <> 'D'
+        |ORDER BY 1, 2""".stripMargin,
     "cdc_upsert_lww" ->
       """WITH feed AS (
         |  SELECT event_id AS lsn,

@@ -71,7 +71,7 @@ object MergeApply {
   case class CompactionPolicy(factor: Double = 0.5, minRows: Long = 50000,
                               maxDeltaFiles: Int = 8)
 
-  private val reservedNames =
+  private[cdc] val reservedNames =
     Set("conv_id", "turn_idx", IceLite.LsnCol, IceLite.DeletedCol, IceLite.BucketCol, "op", "lsn")
 
   /** Apply one micro-batch of raw JSONL lines (single `value` column). */
@@ -268,7 +268,7 @@ object MergeApply {
   }
 
   /** Fully-nullable form of a type (fields, array elements, map values). */
-  private def nullableForm(dt: DataType): DataType = dt match {
+  private[cdc] def nullableForm(dt: DataType): DataType = dt match {
     case s: StructType =>
       StructType(s.fields.map(f => f.copy(dataType = nullableForm(f.dataType), nullable = true)))
     case a: ArrayType => ArrayType(nullableForm(a.elementType), containsNull = true)
@@ -282,13 +282,14 @@ object MergeApply {
     * is the reduced-input frame under the merged schema (keys, payload,
     * `_lsn`, `_deleted`); `estRows` the per-bucket pre-reduce counts.
     */
-  private def reduceAndCommit(spark: SparkSession, tablePath: String, snap: Snapshot,
+  private[cdc] def reduceAndCommit(spark: SparkSession, tablePath: String, snap: Snapshot,
                               schemas: Map[Int, StructType], newSchemaV: Int,
                               changes: DataFrame, estRows: Map[Int, Long],
                               events: Long, malformed: Long, minLsn: Long, maxLsn: Long,
                               schemaDiff: String, batchId: Long,
                               policy: CompactionPolicy, lineageDir: Option[String],
-                              t0: Long, tScan: Long, tDead: Long): ApplyResult = {
+                              t0: Long, tScan: Long, tDead: Long,
+                              reduce: DataFrame => DataFrame = IceLite.lwwReduce): ApplyResult = {
     def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
     val touched = estRows.keySet
     locally {
@@ -306,7 +307,7 @@ object MergeApply {
       }
 
       // The reduced batch has two consumers only when compaction triggers.
-      val reducedPlain = IceLite.lwwReduce(changes)
+      val reducedPlain = reduce(changes)
         .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
       val reduced = if (toCompact.nonEmpty) reducedPlain.persist(StorageLevel.MEMORY_AND_DISK)
                     else reducedPlain
@@ -350,7 +351,7 @@ object MergeApply {
           val storedIn = IceLite.readEntries(spark, tablePath, snapAligned,
             (snap.buckets ++ snap.deltas).filter(e => toCompact.contains(e.bucket)))
           val batchIn = deltaShapeToStored(reduced.filter(col(IceLite.BucketCol).isin(toCompact.toSeq: _*)), snapAligned)
-          val merged = IceLite.lwwReduce(storedIn.map(_.unionByName(batchIn)).getOrElse(batchIn))
+          val merged = reduce(storedIn.map(_.unionByName(batchIn)).getOrElse(batchIn))
             .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
           // One task per bucket, salted by conv_id when the compaction is
           // large so a hot bucket rewrite parallelizes across `salt` tasks

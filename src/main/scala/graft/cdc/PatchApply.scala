@@ -1,0 +1,208 @@
+package graft.cdc
+
+import graft.infer.SchemaMerge
+import graft.table.IceLite
+import graft.table.IceLite.Snapshot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Partial-update merge engine (the Paimon `partial-update` / Hudi
+  * `PartialUpdateAvroPayload` semantics family, re-expressed as one Spark
+  * hash-aggregate): an `I` event replaces the whole row (explicit nulls
+  * included), a `U` event patches ONLY the columns it carries non-null, a
+  * `D` tombstones the row and wipes every column set before it. The
+  * reference's MODIFY op has exactly this shape — a NiFi ModifyLDAP flow
+  * file carries only the attributes it changes, not the whole entry
+  * (InsecureLDAPProcessor.java:880-1055: per-attribute REPLACE ops built
+  * from the present fields) — so the CDC engine's LWW whole-row arbitration
+  * is the wrong merge for that op family; this is the right one.
+  *
+  * Exactness under LSN disorder — the design decision. A folded row cannot
+  * carry just column VALUES: merging generation rows per-column needs to
+  * know WHEN each column was last set, or a stale generation's column wins
+  * ties it should lose and a late-arriving tombstone cannot wipe columns
+  * set before it. Stored rows therefore carry two internal columns past the
+  * LWW engine's (`_lsn`, `_deleted`):
+  *
+  *  - `_setlsn: map<string,long>` — per payload column, the LSN of its
+  *    latest setter (an `I` sets every column; a `U` sets its non-null
+  *    ones). The map form survives schema evolution untouched: a column
+  *    added later is just a new key, no positional bitmask to migrate.
+  *  - `_dlsn: long` — the latest delete LSN seen for the key
+  *    (`Long.MinValue` when none): the wipe boundary. A setter at or below
+  *    it is dead even if it arrives batches later.
+  *
+  * The fold (per key, one `groupBy` with map-side partial aggregation —
+  * identical shuffle shape and skew behavior to [[IceLite.lwwReduce]]):
+  * `dl = max(_dlsn)`; per column `c`, the winner is
+  * `max_by((value, setLsn), setLsn)` with the value kept only when its
+  * setter outruns `dl`; row liveness is plain LWW on the tombstone flag
+  * (`max_by(_deleted, _lsn)` — a `U` after a `D` revives the row with only
+  * its own columns). The same fold reduces a raw batch, merges batch
+  * against stored generations at compaction, and serves merge-on-read —
+  * associative and commutative over arbitrary batch splits, which is what
+  * makes it exact under out-of-order delivery (PatchApplySpec proves
+  * split-order invariance).
+  *
+  * Everything else — bucketing, delta append, deterministic compaction,
+  * snapshot commit, exactly-once batch watermark, schema evolution — is the
+  * shared [[MergeApply.reduceAndCommit]] machinery with this fold passed as
+  * the reducer: the patch engine is a MERGE SEMANTICS, not a second table
+  * format.
+  */
+object PatchApply {
+
+  val SetLsnCol = "_setlsn"
+  val DelLsnCol = "_dlsn"
+  /** `_dlsn` sentinel for "no delete seen" (keeps the column non-null so
+    * `max` needs no null handling and parquet stats stay usable).
+    */
+  val NoDelete: Long = Long.MinValue
+
+  private def keyCols: Seq[Column] = IceLite.KeyCols.map(col)
+
+  /** Stored schema of a patch table: the LWW full schema plus the two
+    * patch-merge internals.
+    */
+  def patchFullSchema(payload: StructType): StructType =
+    StructType(IceLite.fullSchema(payload).fields :+
+      StructField(SetLsnCol, MapType(StringType, LongType), nullable = false) :+
+      StructField(DelLsnCol, LongType, nullable = false))
+
+  /** Payload fields of a patch snapshot (strips the patch internals the
+    * generic [[Snapshot.payloadSchema]] does not know about).
+    */
+  def payloadSchema(snap: Snapshot): StructType =
+    StructType(snap.payloadSchema.fields
+      .filterNot(f => f.name == SetLsnCol || f.name == DelLsnCol))
+
+  /** Create an empty patch table (same layout as [[IceLite.create]], stored
+    * schema extended with the patch internals).
+    */
+  def create(path: String, payload: StructType = new StructType(),
+             numBuckets: Int = 64): Snapshot = {
+    val snap = IceLite.create(path, payload, numBuckets)
+    // The patch internals ride the stored schema; committed as v1 on top of
+    // create's v0 (commitSnapshot CAS-checks the predecessor).
+    val patched = snap.copy(version = snap.version + 1,
+      schemas = Map(1 -> patchFullSchema(payload)))
+    IceLite.commitSnapshot(path, patched)
+    patched
+  }
+
+  /** The patch fold over rows carrying (`keys`, payload, `_lsn`, `_deleted`,
+    * `_setlsn`, `_dlsn`) — raw per-event rows and folded generation rows are
+    * the same shape, so one reducer serves batch reduce, compaction merge
+    * and merge-on-read.
+    */
+  def patchFold(payload: Seq[String])(df: DataFrame): DataFrame = {
+    def setLsn(c: String): Column = element_at(col(SetLsnCol), lit(c))
+    val aggs =
+      max(col(DelLsnCol)).as("_dl") +:
+        max(col(IceLite.LsnCol)).as("_l") +:
+        max_by(col(IceLite.DeletedCol), col(IceLite.LsnCol)).as("_del") +:
+        payload.map(c =>
+          max_by(struct(col(c).as("v"), setLsn(c).as("l")), setLsn(c)).as(s"_w_$c"))
+    val entries = array(payload.map(c =>
+      struct(lit(c).as("key"), col(s"_w_$c").getField("l").as("value"))): _*)
+    df.groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        keyCols ++
+          payload.map(c => when(col(s"_w_$c").getField("l") > col("_dl"),
+            col(s"_w_$c").getField("v")).as(c)) ++
+          Seq(col("_l").as(IceLite.LsnCol), col("_del").as(IceLite.DeletedCol),
+            map_from_entries(filter(entries,
+              e => e.getField("value").isNotNull && e.getField("value") > col("_dl")))
+              .as(SetLsnCol),
+            col("_dl").as(DelLsnCol)): _*)
+  }
+
+  /** Apply one typed micro-batch of partial changes. Contract matches
+    * [[MergeApply.applyChanges]] — columns `op` (I/U/D), `lsn`, `conv_id`,
+    * `turn_idx`, payload — except payload nulls on a `U` mean "leave the
+    * stored value alone" rather than "set null". Exactly-once, schema
+    * evolution, delta/compaction and lineage are the shared machinery.
+    */
+  def applyPatches(spark: SparkSession, tablePath: String, changes0: DataFrame, batchId: Long,
+                   lineageDir: Option[String] = None,
+                   policy: MergeApply.CompactionPolicy = MergeApply.CompactionPolicy())
+  : MergeApply.ApplyResult = {
+    val t0 = System.nanoTime()
+    val snap = IceLite.load(tablePath)
+    if (snap.hasBatch(batchId)) {
+      return MergeApply.ApplyResult(batchId, committed = false, snap.version,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)
+    }
+    def ms(since: Long): Long = (System.nanoTime() - since) / 1000000
+
+    val tScan0 = System.nanoTime()
+    val observed = StructType(changes0.schema.fields
+      .filterNot(f => MergeApply.reservedNames.contains(f.name) ||
+        f.name == SetLsnCol || f.name == DelLsnCol)
+      .map(f => f.copy(dataType = MergeApply.nullableForm(f.dataType), nullable = true)))
+    val mergedPayload = SchemaMerge.mergeStruct(payloadSchema(snap), observed)
+    val schemaDiff = SchemaMerge.diff(payloadSchema(snap), mergedPayload)
+    val newSchemaV = if (schemaDiff.isEmpty) snap.schemaV else snap.schemaV + 1
+    val schemas =
+      if (schemaDiff.isEmpty) snap.schemas
+      else snap.schemas + (newSchemaV -> patchFullSchema(mergedPayload))
+    val withBucket = changes0
+      .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = withBucket.groupBy(col(IceLite.BucketCol))
+        .agg(count(lit(1)).as("n"), min(col("lsn")).as("lo"), max(col("lsn")).as("hi"))
+        .collect()
+      val estRows = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val events = stats.map(_.getLong(1)).sum
+      val minLsn = if (stats.isEmpty) 0L else stats.map(_.getLong(2)).min
+      val maxLsn = if (stats.isEmpty) 0L else stats.map(_.getLong(3)).max
+      val tScan = ms(tScan0)
+
+      if (estRows.isEmpty) {
+        val newSnap = snap.copy(version = snap.version + 1, schemaV = newSchemaV,
+          schemas = schemas).withBatch(batchId)
+        IceLite.commitSnapshot(tablePath, newSnap)
+        return MergeApply.ApplyResult(batchId, committed = true, newSnap.version,
+          0, 0, 0, 0, 0, 0, 0, 0, 0, schemaDiff.toString, (System.nanoTime() - t0) / 1000000)
+      }
+
+      val payloadNames = mergedPayload.fieldNames.toSeq
+      def present(n: String): Column =
+        if (changes0.schema.fieldNames.contains(n)) col(n) else lit(null)
+      // Per-event patch row: an I sets every column (nulls included — its
+      // map entry exists even when the value is null), a U sets its
+      // non-null ones, a D sets none and stamps the wipe boundary.
+      val setEntries = array(payloadNames.map(n =>
+        struct(lit(n).as("key"),
+          when(col("op") === "I" || present(n).isNotNull, col("lsn")).as("value"))): _*)
+      val changes = withBucket.select(
+        Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
+          payloadNames.map(n => present(n).cast(mergedPayload(n).dataType).as(n)) ++
+          Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol),
+            when(col("op") === "D", typedLit(Map.empty[String, Long]))
+              .otherwise(map_from_entries(filter(setEntries, e => e.getField("value").isNotNull)))
+              .as(SetLsnCol),
+            when(col("op") === "D", col("lsn")).otherwise(lit(NoDelete)).as(DelLsnCol)): _*)
+
+      MergeApply.reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
+        estRows, events, 0L, minLsn, maxLsn, schemaDiff.toString,
+        batchId, policy, lineageDir, t0, tScan, 0L, patchFold(payloadNames))
+    } finally withBucket.unpersist()
+  }
+
+  /** Live rows of a patch table under the public schema: merge-on-read with
+    * the patch fold, tombstones and internals dropped. Resolves the
+    * published ref exactly like [[IceLite.read]].
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val snap = IceLite.loadPublished(path)
+    val payload = payloadSchema(snap).fieldNames.toSeq
+    IceLite.readStored(spark, path, snap, None, patchFold(payload))
+      .filter(!col(IceLite.DeletedCol))
+      .select((IceLite.KeyCols ++ payload).map(col): _*)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.cdc.{Feed, FeedGen, MergeApply, Pipeline}
+import graft.cdc.{Feed, FeedGen, MergeApply, PatchApply, Pipeline}
 import graft.infer.SchemaInfer
 import graft.table.{Audit, IceLite}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
@@ -576,5 +576,51 @@ object CdcQueries {
     }
     merged.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
       .toDF("field", "type").orderBy("field")
+  }
+
+  /** Partial-update merge as a driver query ([[graft.cdc.PatchApply]] — the
+    * reference's MODIFY-only-the-present-attributes op family,
+    * InsecureLDAPProcessor.java:880-1055): the events feed is mapped so
+    * every U event carries only a SUBSET of the payload columns (chosen by
+    * `event_id % 3` — role+text / value / ts+text), every I replaces the
+    * whole row (with `event_id % 7 == 0` carrying an EXPLICIT null `value`,
+    * the set-to-null case LWW cannot express), and errors delete. The feed
+    * is applied in three batches split by `event_id % 3` — deliberately
+    * NON-monotone LSN placement across batches, so the oracle match
+    * certifies the per-column setter-LSN arbitration under out-of-order
+    * delivery, not just happy-path ordering. The DuckDB oracle recomputes
+    * every cell independently: latest setter per column after the latest
+    * delete, row live iff the latest op is not D.
+    */
+  def patchUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = freshDir("patch", sfDir)
+    val table = s"$base/table"
+    PatchApply.create(table, StructType(Seq(
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("value", DoubleType), StructField("ts", TimestampType))),
+      numBuckets = 16)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val op = when(col("event_type") === "error", "D")
+      .when(col("event_id") % 5 === 0, "I").otherwise("U")
+    val m3 = col("event_id") % 3
+    val changes = ev.select(
+      op.as("op"),
+      col("event_id").as("lsn"),
+      concat(lit("conv-"), lpad(col("user_id").cast(StringType), 4, "0")).as("conv_id"),
+      (get_json_object(col("props"), "$.k").cast(IntegerType) % 10).as("turn_idx"),
+      when(op === "I" || (op === "U" && m3 === 0), col("event_type")).as("role"),
+      when(op === "I" || (op === "U" && m3.isin(0, 2)),
+        concat(col("event_type"), lit("#"), col("event_id").cast(StringType))).as("text"),
+      when((op === "I" && col("event_id") % 7 =!= 0) || (op === "U" && m3 === 1),
+        col("value")).as("value"),
+      // events.parquet carries ts as TIMESTAMP_NTZ; cast to the table's
+      // session-UTC TimestampType (same instant — the session zone is UTC).
+      when(op === "I" || (op === "U" && m3 === 2), col("ts").cast(TimestampType)).as("ts"))
+    (0 until 3).foreach { b =>
+      PatchApply.applyPatches(spark, table,
+        changes.filter(pmod(col("lsn"), lit(3)) === b), b.toLong)
+    }
+    PatchApply.read(spark, table).orderBy("conv_id", "turn_idx")
   }
 }

@@ -536,7 +536,8 @@ object IceLite {
     * become nulls, widened columns are cast.
     */
   def readStored(spark: SparkSession, path: String, snap: Snapshot,
-                 buckets: Option[Set[Int]] = None): DataFrame = {
+                 buckets: Option[Set[Int]] = None,
+                 reduce: DataFrame => DataFrame = lwwReduce): DataFrame = {
     def pick(es: Seq[BucketEntry]) =
       buckets.map(bs => es.filter(e => bs.contains(e.bucket))).getOrElse(es)
     val bases = pick(snap.buckets)
@@ -545,7 +546,7 @@ object IceLite {
     val dirtyBuckets = deltas.map(_.bucket).toSet
     val clean = readEntries(spark, path, snap, bases.filterNot(e => dirtyBuckets.contains(e.bucket)))
     val dirtyIn = bases.filter(e => dirtyBuckets.contains(e.bucket)) ++ deltas
-    val dirty = readEntries(spark, path, snap, dirtyIn).map(lwwReduce)
+    val dirty = readEntries(spark, path, snap, dirtyIn).map(reduce)
     (clean, dirty) match {
       case (Some(c), Some(d)) => c.unionByName(d)
       case (Some(c), None) => c
