@@ -34,7 +34,10 @@ object SparkEntry {
     "cdc_time_travel" -> ((s, d) => CdcQueries.timeTravelRead(s, d)),
     "cdc_rollback_replay" -> ((s, d) => CdcQueries.rollbackReplay(s, d)),
     "cdc_patch_upsert" -> ((s, d) => CdcQueries.patchUpsert(s, d)),
+    "cdc_bootstrap_handoff" -> ((s, d) => CdcQueries.bootstrapHandoff(s, d)),
+    "cdc_version_diff" -> ((s, d) => CdcQueries.versionDiff(s, d)),
     "cdc_wap_publish" -> ((s, d) => CdcQueries.wapPublish(s, d)),
+    "transcript_render" -> ((s, d) => CdcQueries.transcriptRender(s, d)),
     "cdc_wap_abort" -> ((s, d) => CdcQueries.wapAbort(s, d)),
     "sessionize" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "sessionize_changes" -> ((s, d) => CdcQueries.sessionizeChanges(s, d)),
@@ -589,6 +592,47 @@ object SparkEntry {
         |       CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
         |       CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) AS pack_last
         |FROM o ORDER BY conv_id""".stripMargin,
+    // Chat-template render: the oracle recomputes the converged table, maps
+    // roles (purchase→assistant, signup→system, else user), renders each
+    // turn as a ChatML segment, derives per-turn character spans with a
+    // running sum, masks loss to assistant turns, and hashes the ordered
+    // full-conversation render — every step in plain SQL.
+    "transcript_render" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text
+        |  FROM events),
+        |ranked AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f),
+        |seg AS (
+        |  SELECT conv_id, turn_idx,
+        |         CASE role WHEN 'purchase' THEN 'assistant'
+        |                   WHEN 'signup' THEN 'system' ELSE 'user' END AS chat_role,
+        |         '<|im_start|>' ||
+        |           CASE role WHEN 'purchase' THEN 'assistant'
+        |                     WHEN 'signup' THEN 'system' ELSE 'user' END ||
+        |           chr(10) || text || '<|im_end|>' || chr(10) AS seg
+        |  FROM ranked WHERE rn = 1 AND op <> 'D'),
+        |sp AS (
+        |  SELECT conv_id, turn_idx, chat_role, seg,
+        |         CAST(SUM(length(seg)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_char
+        |  FROM seg),
+        |h AS (
+        |  SELECT conv_id, md5(string_agg(seg, '' ORDER BY turn_idx)) AS conv_hash
+        |  FROM seg GROUP BY conv_id)
+        |SELECT sp.conv_id, sp.turn_idx, sp.chat_role,
+        |       CAST(sp.end_char - length(sp.seg) AS BIGINT) AS start_char,
+        |       sp.end_char,
+        |       CASE WHEN sp.chat_role = 'assistant' THEN 1 ELSE 0 END AS loss,
+        |       h.conv_hash
+        |FROM sp JOIN h USING (conv_id)
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     // Benchmark decontamination: 5-gram overlap vs the derived benchmark set
     // (words 3..10 of every doc_id % 40 == 0 doc). Same shingle window
     // semantics as CurateOps.decontaminate / TextOps.shingles.
@@ -1055,6 +1099,62 @@ object SparkEntry {
         |  FROM feed f)
         |SELECT conv_id, turn_idx, role, text, "value"
         |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Snapshot bootstrap + tail handoff: the engine replays a FOLDED
+    // consistent snapshot of the ≤cutoff prefix (one I per live key at its
+    // original LSN) and then only the >cutoff tail — the oracle is the
+    // straight-through full-history LWW state, which the handoff must equal
+    // bit-for-bit (snapshot ∘ tail ≡ full replay).
+    "cdc_bootstrap_handoff" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |ranked AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f)
+        |SELECT conv_id, turn_idx, role, text, "value"
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // Classified CDF between the phase-1 snapshot and the head: per touched
+    // key, insert/update/delete with before/after text. The oracle rebuilds
+    // both states from events alone and classifies by liveness at each end
+    // (keys dead at both ends are no visible change and dropped).
+    "cdc_version_diff" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text
+        |  FROM events),
+        |cut AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS half FROM events),
+        |a AS (
+        |  SELECT conv_id, turn_idx, text FROM (
+        |    SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |    FROM feed f, cut c WHERE f.lsn <= c.half)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |b AS (
+        |  SELECT conv_id, turn_idx, op, text FROM (
+        |    SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |    FROM feed f)
+        |  WHERE rn = 1),
+        |touched AS (SELECT DISTINCT conv_id, turn_idx FROM feed, cut WHERE lsn > half)
+        |SELECT t.conv_id, t.turn_idx,
+        |       CASE WHEN b.op <> 'D' AND a.text IS NULL THEN 'insert'
+        |            WHEN b.op <> 'D' THEN 'update'
+        |            ELSE 'delete' END AS change,
+        |       a.text AS old_text,
+        |       CASE WHEN b.op <> 'D' THEN b.text END AS new_text
+        |FROM touched t
+        |JOIN b USING (conv_id, turn_idx)
+        |LEFT JOIN a USING (conv_id, turn_idx)
+        |WHERE NOT (b.op = 'D' AND a.text IS NULL)
         |ORDER BY conv_id, turn_idx""".stripMargin,
     // Write-audit-publish, passing gate: the consumer view DURING staging is
     // phase-1 converged state (isolation), the audit counts violations over

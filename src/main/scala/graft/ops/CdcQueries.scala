@@ -623,4 +623,152 @@ object CdcQueries {
     }
     PatchApply.read(spark, table).orderBy("conv_id", "turn_idx")
   }
+
+  /** Chat-template render + loss mask: the training-example emission step
+    * that turns the CONVERGED conversation table into model-ready sequences.
+    * Each live turn renders as a ChatML-style segment
+    * (`<|im_start|>role\ntext<|im_end|>\n`) under a deterministic
+    * role mapping (purchase→assistant, signup→system, else user); per turn
+    * the query emits its character span [start_char, end_char) inside the
+    * conversation's rendered text (the offsets a loss mask / attention
+    * boundary needs), `loss` = 1 on assistant turns only (the standard
+    * SFT masking rule), and `conv_hash` = md5 of the full rendered
+    * conversation (the bit-exactness witness for the assembled sequence).
+    *
+    * 100 TB shape: spans are one window over the table's own key
+    * (conv_id) — a single keyed shuffle; the hash is a groupBy(conv_id)
+    * whose per-key state is ONE conversation (bounded by max turns, never
+    * corpus-sized), with `array_sort(collect_list(struct(turn_idx, seg)))`
+    * making the assembly order explicit rather than partition-dependent.
+    * Catalyst reuses the conv_id exchange between the window and the
+    * aggregate, and the join back is key-aligned.
+    */
+  def transcriptRender(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = IceLite.read(spark, sharedUpsertTable(spark, sfDir))
+    val seg = conv.select(
+      col("conv_id"), col("turn_idx"),
+      when(col("role") === "purchase", "assistant")
+        .when(col("role") === "signup", "system")
+        .otherwise("user").as("chat_role"),
+      col("text"))
+      .withColumn("seg", concat(lit("<|im_start|>"), col("chat_role"), lit("\n"),
+        col("text"), lit("<|im_end|>\n")))
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val spans = seg
+      .withColumn("end_char", sum(length(col("seg")).cast("long")).over(w))
+      .withColumn("start_char", col("end_char") - length(col("seg")))
+      .withColumn("loss", (col("chat_role") === "assistant").cast("int"))
+    val hashes = seg.groupBy("conv_id").agg(
+      md5(concat_ws("", transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("seg")))),
+        x => x.getField("seg")))).as("conv_hash"))
+    spans.join(hashes, Seq("conv_id"))
+      .select("conv_id", "turn_idx", "chat_role", "start_char", "end_char",
+        "loss", "conv_hash")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  /** Snapshot bootstrap + change-stream handoff (the Debezium/DMS initial-
+    * load pattern — the way every real CDC deployment actually starts): a
+    * consistent initial snapshot of the source is emitted into the SAME
+    * feed lineage as `I` rows (one per live key, carrying each row's
+    * original LSN — the snapshot's consistency point), the pipeline
+    * replays it as the bootstrap epoch, and the change stream then hands
+    * off at the watermark (only events with lsn > cutoff flow). The claim
+    * the oracle certifies: snapshot ∘ tail ≡ full-history replay — the
+    * converged table is bit-identical to replaying every event from LSN 0,
+    * because LWW arbitration over original LSNs makes the folded snapshot
+    * indistinguishable from the history it summarizes (keys whose final
+    * event was a pre-cutoff delete stay absent: the snapshot never carried
+    * them and the tail never revives them).
+    *
+    * 100 TB shape: the bootstrap batch is O(live keys), not O(history) —
+    * at 10^10 events over 10^8 keys the snapshot replaces two orders of
+    * magnitude of dead history with one folded batch, and the tail starts
+    * exactly-once at the watermark like any other resume.
+    */
+  def bootstrapHandoff(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = freshDir("bootstrap", sfDir)
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    // The consistent snapshot at the cutoff: LWW winner per key over the
+    // prefix, deletes dropped (a snapshot only sees rows that exist).
+    val w = Window.partitionBy("conv_id", "turn_idx").orderBy(col("lsn").desc)
+    val snapshot = ev.filter(col("lsn") <= half)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(lit("I").as("op"), col("lsn"), col("conv_id"), col("turn_idx"),
+        col("role"), col("text"), col("value"))
+    def lines(df: DataFrame) = df.select(to_json(struct(col("op"), col("lsn"),
+      col("conv_id"), col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines(snapshot), s"$base/feed/p0-snapshot", files = 4)
+    Pipeline.replay(spark, cfg) // bootstrap epoch(s)
+    FeedGen.writeFeed(lines(ev.filter(col("lsn") > half)), s"$base/feed/p1-tail", files = 4)
+    Pipeline.replay(spark, cfg) // handoff: resume processes only the tail
+    IceLite.read(spark, s"$base/table")
+      .select("conv_id", "turn_idx", "role", "text", "value")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  /** Classified change-data-feed between two snapshots (the Delta CDF /
+    * `table_changes()` analogue): for every key touched between vA and the
+    * head, emit `change` ∈ insert/update/delete with the before/after text —
+    * what a downstream auditor, cache invalidator or reverse-ETL consumer
+    * reads instead of diffing two full table states.
+    *
+    * Shape: the new side is [[IceLite.changesBetween]] — O(changed data) via
+    * the LSN zone maps, never O(table). The old side needs vA values for
+    * exactly the touched keys: it reads the vA snapshot RESTRICTED to the
+    * touched keys' buckets ([[IceLite.readStored]] bucket pruning — the
+    * bucket set is O(buckets) collected from the changed frame, not row
+    * data), so the before-image scan is bounded by the touched buckets'
+    * share of vA, not the table. Exact before-images under arbitrary spread
+    * would need per-commit change files (Delta CDF's trade) — the bucket
+    * restriction is the manifest-level bound this format can prove.
+    */
+  def versionDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("vdiff", sfDir)
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(s"$base/table").version
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+
+    val changed = IceLite.changesSince(spark, s"$base/table", vA)
+      .select(col("conv_id"), col("turn_idx"),
+        col(IceLite.DeletedCol).as("del"), col("text").as("new_text"))
+    val snapA = IceLite.loadVersion(s"$base/table", f"v$vA%05d.json")
+    // Touched buckets: O(buckets) driver-side, collected from keys, not rows.
+    val buckets = changed
+      .select(IceLite.bucketExpr(col("conv_id"), snapA.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val before = IceLite.readStored(spark, s"$base/table", snapA, Some(buckets))
+      .filter(!col(IceLite.DeletedCol))
+      .select(col("conv_id"), col("turn_idx"), col("text").as("old_text"))
+    changed.join(before, Seq("conv_id", "turn_idx"), "left_outer")
+      .withColumn("change",
+        when(!col("del") && col("old_text").isNull, "insert")
+          .when(!col("del"), "update")
+          .when(col("old_text").isNotNull, "delete"))
+      .filter(col("change").isNotNull) // dead at head AND absent at vA: no visible change
+      .select(col("conv_id"), col("turn_idx"), col("change"), col("old_text"),
+        when(col("change") =!= "delete", col("new_text")).as("new_text"))
+      .orderBy("conv_id", "turn_idx")
+  }
 }
