@@ -42,4 +42,34 @@ object Feed {
     ).select(col(RawCol), col("env.op"), col("env.lsn"), col("env.conv_id"),
       col("env.turn_idx"), col("env.after"))
   }
+
+  /** The envelope inverse: render a table's live rows back into the feed
+    * format — a folded consistent snapshot (one `I` line per live key, each
+    * carrying its original `_lsn`) that [[Pipeline.replay]] can bootstrap a
+    * NEW table from ([[graft.ops.CdcQueries.bootstrapHandoff]]'s input
+    * contract). This is the migration verb: export ∘ replay moves a table
+    * across clusters, bucket counts, or layout generations in O(live rows)
+    * while preserving LWW arbitration against any change stream that hands
+    * off at the export watermark. Timestamp columns are rendered in the
+    * ingest path's own micro-second format (the session zone is UTC
+    * everywhere) so a round-trip is bit-identical, not millis-truncated.
+    */
+  def renderSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String): DataFrame = {
+    import graft.table.IceLite
+    val snap = IceLite.loadPublished(tablePath)
+    val afterCols = snap.payloadSchema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case TimestampType =>
+          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    IceLite.readStored(spark, tablePath, snap)
+      .filter(!col(IceLite.DeletedCol))
+      .select(to_json(struct(
+        lit("I").as("op"), col(IceLite.LsnCol).as("lsn"),
+        col("conv_id"), col("turn_idx"),
+        struct(afterCols: _*).as("after"))).as("value"))
+  }
 }
