@@ -82,7 +82,7 @@ object BenchChanges {
     FeedGen.writeFeed(lines.filter(col("_lsn").isNull || col("_lsn") <= cut)
       .drop("_lsn"), s"$base/feed/p1", files = p1Files)
     val t1 = System.nanoTime()
-    Pipeline.replay(spark, cfg)
+    val p1Results = Pipeline.replay(spark, cfg)
     val p1Sec = (System.nanoTime() - t1) / 1e9
     val vA = IceLite.load(s"$base/table").version
     // Phase 2 runs inside a real write-audit-publish window: the audit
@@ -91,7 +91,7 @@ object BenchChanges {
     FeedGen.writeFeed(lines.filter(col("_lsn") > cut).drop("_lsn"), s"$base/feed/p2",
       files = math.max(2, p1Files / 8))
     val t2 = System.nanoTime()
-    Pipeline.replay(spark, cfg)
+    val p2Results = Pipeline.replay(spark, cfg)
     val p2Sec = (System.nanoTime() - t2) / 1e9
     System.err.println(f"[bench-changes] p1 replay ${p1Sec}%.1fs, p2 replay ${p2Sec}%.1fs")
 
@@ -129,6 +129,64 @@ object BenchChanges {
     println(f"[bench-changes] table files=$fullFiles rows=$fullRows read=${fullSec}%.2fs | " +
       f"changesSince(v$vA) files=$incFiles rows=$incRows read=${incSec}%.2fs | " +
       f"file ratio ${fullFiles.toDouble / math.max(incFiles, 1)}%.1fx")
+
+    // ---- classified CDF (versionDiff's shape) vs the naive full-state diff.
+    // Engine: new side = changesSince (zone-map-pruned), before side = vA
+    // read RESTRICTED to the touched keys' buckets. Naive: LWW-fold BOTH
+    // full states and full-outer-join them — what a consumer without an
+    // incremental cursor pays. When the tail's keys spread across all
+    // buckets (the churn regime here) the bucket term cannot prune, so the
+    // measured gap isolates the changed-side term; clustered-key tails
+    // additionally drop the before-scan (IceLiteSpec pins that pruning).
+    val changed = inc.select(col("conv_id"), col("turn_idx"),
+      col(IceLite.DeletedCol).as("del"), col("text").as("new_text"))
+    val snapA = IceLite.loadVersion(s"$base/table", f"v$vA%05d.json")
+    val touched = changed
+      .select(IceLite.bucketExpr(col("conv_id"), snapA.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val before = IceLite.readStored(spark, s"$base/table", snapA, Some(touched))
+      .filter(!col(IceLite.DeletedCol))
+      .select(col("conv_id"), col("turn_idx"), col("text").as("old_text"))
+    val diff = changed.join(before, Seq("conv_id", "turn_idx"), "left_outer")
+      .withColumn("change",
+        when(!col("del") && col("old_text").isNull, "insert")
+          .when(!col("del"), "update")
+          .when(col("old_text").isNotNull, "delete"))
+      .filter(col("change").isNotNull)
+    val diffFiles = changed.inputFiles.length + before.inputFiles.length
+    val (diffRows, diffSec) = timed(diff.count())
+    val headLive2 = IceLite.readSnapshot(spark, s"$base/table", snap)
+      .select(col("conv_id"), col("turn_idx"), col("text").as("new_text"))
+    val aLive = IceLite.readAt(spark, s"$base/table", vA)
+      .select(col("conv_id"), col("turn_idx"), col("text").as("old_text"))
+    val naive = aLive.join(headLive2, Seq("conv_id", "turn_idx"), "full_outer")
+      .withColumn("change",
+        when(col("old_text").isNull && col("new_text").isNotNull, "insert")
+          .when(col("old_text").isNotNull && col("new_text").isNull, "delete")
+          .when(col("old_text") =!= col("new_text"), "update"))
+      .filter(col("change").isNotNull)
+    val naiveFiles = aLive.inputFiles.length + headLive2.inputFiles.length
+    val (naiveRows, naiveSec) = timed(naive.count())
+    println(f"[bench-vdiff] cdf files=$diffFiles (buckets ${touched.size}/${snapA.numBuckets}) " +
+      f"rows=$diffRows ${diffSec}%.2fs | naive full-state diff files=$naiveFiles " +
+      f"rows=$naiveRows ${naiveSec}%.2fs | time ratio ${naiveSec / math.max(diffSec, 1e-9)}%.1fx")
+
+    // ---- snapshot export (migration): the fold ratio and the rebootstrap
+    // cost vs the full-history replay this run already paid (p1+p2).
+    val tx = System.nanoTime()
+    val exported = graft.cdc.Feed.renderSnapshot(spark, s"$base/table")
+    FeedGen.writeFeed(exported, s"$base/export", files = p1Files)
+    val exportSec = (System.nanoTime() - tx) / 1e9
+    val exportLines = spark.read.text(s"$base/export").count()
+    val tr = System.nanoTime()
+    Pipeline.replay(spark, Pipeline.Config(s"$base/export", s"$base/table2",
+      s"$base/ckpt2", numBuckets = buckets, maxFilesPerTrigger = Some(p1Files)))
+    val rebootSec = (System.nanoTime() - tr) / 1e9
+    val historyEvents = (p1Results ++ p2Results).map(_.events).sum
+    println(f"[bench-export] exported $exportLines live rows in ${exportSec}%.1fs, " +
+      f"rebootstrap replay ${rebootSec}%.1fs | full-history replay was ${p1Sec + p2Sec}%.1fs " +
+      f"over $historyEvents events | fold ${historyEvents.toDouble / math.max(exportLines, 1)}%.1fx, " +
+      f"migration speedup ${(p1Sec + p2Sec) / math.max(exportSec + rebootSec, 1e-9)}%.1fx")
     spark.stop()
   }
 }
