@@ -926,7 +926,8 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT event_id AS lsn,
         |         CASE WHEN event_type = 'error' THEN 'D'
-        |              WHEN event_id % 5 = 0 THEN 'I' ELSE 'U' END AS op,
+        |              WHEN event_id % 5 = 0 THEN 'I'
+        |              WHEN event_id % 7 = 3 THEN 'R' ELSE 'U' END AS op,
         |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
         |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
         |         event_type, "value" AS v, ts
@@ -945,11 +946,14 @@ object SparkEntry {
         |  FROM m GROUP BY 1, 2)
         |SELECT m.conv_id, m.turn_idx,
         |  (arg_max({x: role}, CASE WHEN op <> 'D' AND lsn > dl
-        |     AND (op = 'I' OR role IS NOT NULL) THEN lsn END)).x AS role,
+        |     AND (op = 'I' OR role IS NOT NULL
+        |          OR (op = 'R' AND lsn % 3 = 0)) THEN lsn END)).x AS role,
         |  (arg_max({x: text}, CASE WHEN op <> 'D' AND lsn > dl
-        |     AND (op = 'I' OR text IS NOT NULL) THEN lsn END)).x AS text,
+        |     AND (op = 'I' OR text IS NOT NULL
+        |          OR (op = 'R' AND lsn % 3 = 1)) THEN lsn END)).x AS text,
         |  (arg_max({x: "value"}, CASE WHEN op <> 'D' AND lsn > dl
-        |     AND (op = 'I' OR "value" IS NOT NULL) THEN lsn END)).x AS "value",
+        |     AND (op = 'I' OR "value" IS NOT NULL
+        |          OR (op = 'R' AND lsn % 3 = 2)) THEN lsn END)).x AS "value",
         |  (arg_max({x: ts}, CASE WHEN op <> 'D' AND lsn > dl
         |     AND (op = 'I' OR ts IS NOT NULL) THEN lsn END)).x AS ts
         |FROM m JOIN d USING (conv_id, turn_idx)

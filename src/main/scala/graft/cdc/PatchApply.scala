@@ -11,13 +11,17 @@ import org.apache.spark.storage.StorageLevel
 /** Partial-update merge engine (the Paimon `partial-update` / Hudi
   * `PartialUpdateAvroPayload` semantics family, re-expressed as one Spark
   * hash-aggregate): an `I` event replaces the whole row (explicit nulls
-  * included), a `U` event patches ONLY the columns it carries non-null, a
+  * included), a `U` event patches ONLY the columns it carries non-null, an
+  * `R` UNSETS the columns it marks non-null (per-attribute REMOVE — the
+  * unset participates in setter arbitration like any write, so a stale
+  * pre-R setter arriving later cannot resurrect the removed value), and a
   * `D` tombstones the row and wipes every column set before it. The
   * reference's MODIFY op has exactly this shape — a NiFi ModifyLDAP flow
-  * file carries only the attributes it changes, not the whole entry
-  * (InsecureLDAPProcessor.java:880-1055: per-attribute REPLACE ops built
-  * from the present fields) — so the CDC engine's LWW whole-row arbitration
-  * is the wrong merge for that op family; this is the right one.
+  * file carries only the attributes it changes, not the whole entry, with
+  * a per-attribute ADD/REPLACE/REMOVE dispatch
+  * (InsecureLDAPProcessor.java:880-1055; op dispatch 991-1004: REPLACE ≙
+  * `U`, REMOVE ≙ `R`) — so the CDC engine's LWW whole-row arbitration is
+  * the wrong merge for that op family; this is the right one.
   *
   * Exactness under LSN disorder — the design decision. A folded row cannot
   * carry just column VALUES: merging generation rows per-column needs to
@@ -121,10 +125,12 @@ object PatchApply {
   }
 
   /** Apply one typed micro-batch of partial changes. Contract matches
-    * [[MergeApply.applyChanges]] — columns `op` (I/U/D), `lsn`, `conv_id`,
+    * [[MergeApply.applyChanges]] — columns `op` (I/U/R/D), `lsn`, `conv_id`,
     * `turn_idx`, payload — except payload nulls on a `U` mean "leave the
-    * stored value alone" rather than "set null". Exactly-once, schema
-    * evolution, delta/compaction and lineage are the shared machinery.
+    * stored value alone" rather than "set null", and on an `R` row the
+    * NON-null input columns name the attributes to unset (their values are
+    * markers, discarded). Exactly-once, schema evolution, delta/compaction
+    * and lineage are the shared machinery.
     */
   def applyPatches(spark: SparkSession, tablePath: String, changes0: DataFrame, batchId: Long,
                    lineageDir: Option[String] = None,
@@ -175,13 +181,17 @@ object PatchApply {
         if (changes0.schema.fieldNames.contains(n)) col(n) else lit(null)
       // Per-event patch row: an I sets every column (nulls included — its
       // map entry exists even when the value is null), a U sets its
-      // non-null ones, a D sets none and stamps the wipe boundary.
+      // non-null ones, an R sets its marked (non-null in the input) columns
+      // to NULL — the null rides the same setter-LSN arbitration, so the
+      // unset wins and stays winning over older setters — and a D sets
+      // none and stamps the wipe boundary.
       val setEntries = array(payloadNames.map(n =>
         struct(lit(n).as("key"),
           when(col("op") === "I" || present(n).isNotNull, col("lsn")).as("value"))): _*)
       val changes = withBucket.select(
         Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
-          payloadNames.map(n => present(n).cast(mergedPayload(n).dataType).as(n)) ++
+          payloadNames.map(n => when(col("op") === "R", lit(null))
+            .otherwise(present(n)).cast(mergedPayload(n).dataType).as(n)) ++
           Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol),
             when(col("op") === "D", typedLit(Map.empty[String, Long]))
               .otherwise(map_from_entries(filter(setEntries, e => e.getField("value").isNotNull)))

@@ -602,18 +602,24 @@ object CdcQueries {
       numBuckets = 16)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val op = when(col("event_type") === "error", "D")
-      .when(col("event_id") % 5 === 0, "I").otherwise("U")
+      .when(col("event_id") % 5 === 0, "I")
+      .when(col("event_id") % 7 === 3, "R").otherwise("U")
     val m3 = col("event_id") % 3
     val changes = ev.select(
       op.as("op"),
       col("event_id").as("lsn"),
       concat(lit("conv-"), lpad(col("user_id").cast(StringType), 4, "0")).as("conv_id"),
       (get_json_object(col("props"), "$.k").cast(IntegerType) % 10).as("turn_idx"),
-      when(op === "I" || (op === "U" && m3 === 0), col("event_type")).as("role"),
+      // R rows mark the column to unset with a non-null marker (value
+      // discarded by the engine): m3 picks role / text / value.
+      when(op === "I" || (op === "U" && m3 === 0), col("event_type"))
+        .when(op === "R" && m3 === 0, lit("x")).as("role"),
       when(op === "I" || (op === "U" && m3.isin(0, 2)),
-        concat(col("event_type"), lit("#"), col("event_id").cast(StringType))).as("text"),
+        concat(col("event_type"), lit("#"), col("event_id").cast(StringType)))
+        .when(op === "R" && m3 === 1, lit("x")).as("text"),
       when((op === "I" && col("event_id") % 7 =!= 0) || (op === "U" && m3 === 1),
-        col("value")).as("value"),
+        col("value"))
+        .when(op === "R" && m3 === 2, lit(0.0)).as("value"),
       // events.parquet carries ts as TIMESTAMP_NTZ; cast to the table's
       // session-UTC TimestampType (same instant — the session zone is UTC).
       when(op === "I" || (op === "U" && m3 === 2), col("ts").cast(TimestampType)).as("ts"))

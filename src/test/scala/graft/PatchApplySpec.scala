@@ -81,6 +81,22 @@ class PatchApplySpec extends AnyFunSuite {
       ("b", 0) -> ((None, Some("newest text"), None))))
   }
 
+  test("R unsets its marked columns; the unset WINS arbitration over older setters") {
+    val dir = drive("patch-remove", Seq(Seq(
+      ("I", 1L, "c", 0, Some("user"), Some("hello"), Some(1.0)),
+      ("R", 3L, "c", 0, None, Some("x"), None)))) // unset text at lsn 3 (marker discarded)
+    assert(readRows(dir) === Map(("c", 0) -> ((Some("user"), None, Some(1.0)))))
+    // A STALE setter below the unset arriving later cannot resurrect the
+    // removed value — the R's null rode the setter-LSN arbitration.
+    PatchApply.applyPatches(spark, dir, changes(Seq(
+      ("U", 2L, "c", 0, None, Some("stale"), None))), 10L)
+    assert(readRows(dir) === Map(("c", 0) -> ((Some("user"), None, Some(1.0)))))
+    // A NEWER setter re-sets it; the other columns never moved.
+    PatchApply.applyPatches(spark, dir, changes(Seq(
+      ("U", 4L, "c", 0, None, Some("fresh"), None))), 11L)
+    assert(readRows(dir) === Map(("c", 0) -> ((Some("user"), Some("fresh"), Some(1.0)))))
+  }
+
   test("row whose latest op is D is gone") {
     val dir = drive("patch-gone", Seq(Seq(
       ("I", 1L, "c", 0, Some("user"), Some("x"), None),
@@ -92,11 +108,13 @@ class PatchApplySpec extends AnyFunSuite {
   test("split-order invariance: any batch split of the same events converges identically") {
     val evs: Seq[Ev] = (0 until 60).map { i =>
       val k = i % 7
-      val op = if (i % 11 == 0) "D" else if (i % 5 == 0) "I" else "U"
+      val op = if (i % 11 == 0) "D" else if (i % 5 == 0) "I"
+        else if (i % 7 == 3) "R" else "U"
+      def partial = op == "U" || op == "R" // these mark a column subset
       (op, i.toLong, s"c-$k", k % 3,
-        if (op != "U" || i % 2 == 0) Some(s"r$i") else None,
-        if (op != "U" || i % 3 == 0) Some(s"t$i") else None,
-        if (op != "U" || i % 4 == 0) Some(i.toDouble) else None)
+        if (!partial || i % 2 == 0) Some(s"r$i") else None,
+        if (!partial || i % 3 == 0) Some(s"t$i") else None,
+        if (!partial || i % 4 == 0) Some(i.toDouble) else None)
     }
     val whole = readRows(drive("patch-split-1", Seq(evs)))
     val byThree = readRows(drive("patch-split-3",
