@@ -75,10 +75,22 @@ object MergeApply {
     Set("conv_id", "turn_idx", IceLite.LsnCol, IceLite.DeletedCol, IceLite.BucketCol, "op", "lsn")
 
   /** Apply one micro-batch of raw JSONL lines (single `value` column). */
+  /** `patch = true` runs the SAME raw path under the partial-update merge
+    * semantics ([[PatchApply]]): the op set grows `R` (per-attribute
+    * REMOVE — its `after` object's keys name the columns to unset; the
+    * marker values should be type-compatible with the column or the schema
+    * lattice widens it), a `U`'s absent/null fields mean "leave alone"
+    * (exactly the NiFi MODIFY contract — the flow file carries only the
+    * attributes it changes), and the reduce is the per-column setter-LSN
+    * fold. Everything else — parse, inference, dead letter, evolution,
+    * delta/compaction, commit, lineage — is shared, which is the point:
+    * the patch engine is a merge semantics, not a second pipeline.
+    */
   def applyRaw(spark: SparkSession, tablePath: String, rawLines: DataFrame, batchId: Long,
                deadLetterDir: Option[String] = None, lineageDir: Option[String] = None,
                policy: CompactionPolicy = CompactionPolicy(),
-               inferSamplePerPartition: Int = Int.MaxValue): ApplyResult = {
+               inferSamplePerPartition: Int = Int.MaxValue,
+               patch: Boolean = false): ApplyResult = {
     val t0 = System.nanoTime()
     val snap = IceLite.load(tablePath)
     if (snap.hasBatch(batchId)) {
@@ -86,6 +98,7 @@ object MergeApply {
       // a crash between sink write and checkpoint commit). No-op.
       return ApplyResult(batchId, committed = false, snap.version, 0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)
     }
+    val validOps = if (patch) Seq("I", "U", "R", "D") else Seq("I", "U", "D")
 
     // Cache the parsed batch once (columnar, memory-preferred): it feeds the
     // fused scan, the dead-letter branch and the LWW apply. Measured against
@@ -94,7 +107,7 @@ object MergeApply {
     // 0.75× — the cache pays for itself.
     val parsed = Feed.parse(rawLines)
       .withColumn("_env_bad",
-        col("op").isNull || !col("op").isin("I", "U", "D") ||
+        col("op").isNull || !col("op").isin(validOps: _*) ||
           col("lsn").isNull || col("conv_id").isNull || col("turn_idx").isNull ||
           (col("op") =!= "D" && col("after").isNull))
       .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
@@ -110,13 +123,18 @@ object MergeApply {
       val tScan0 = System.nanoTime()
       val scan = scanBatch(spark, parsed, inferSamplePerPartition)
       val tScan = ms(tScan0)
-      val observed = StructType(scan.schema.fields.filterNot(f => reservedNames.contains(f.name)))
-      val mergedPayload = SchemaMerge.mergeStruct(snap.payloadSchema, observed)
-      val schemaDiff = SchemaMerge.diff(snap.payloadSchema, mergedPayload)
+      val observed = StructType(scan.schema.fields.filterNot(f =>
+        reservedNames.contains(f.name) ||
+          f.name == PatchApply.SetLsnCol || f.name == PatchApply.DelLsnCol))
+      val basePayload = if (patch) PatchApply.payloadSchema(snap) else snap.payloadSchema
+      val mergedPayload = SchemaMerge.mergeStruct(basePayload, observed)
+      val schemaDiff = SchemaMerge.diff(basePayload, mergedPayload)
       val newSchemaV = if (schemaDiff.isEmpty) snap.schemaV else snap.schemaV + 1
+      val fullOf: StructType => StructType =
+        if (patch) PatchApply.patchFullSchema else IceLite.fullSchema
       val schemas =
         if (schemaDiff.isEmpty) snap.schemas
-        else snap.schemas + (newSchemaV -> IceLite.fullSchema(mergedPayload))
+        else snap.schemas + (newSchemaV -> fullOf(mergedPayload))
       val payloadNames = mergedPayload.fieldNames.toSeq
 
       val events = scan.events
@@ -174,16 +192,41 @@ object MergeApply {
         return res
       }
 
-      // ---- change rows under the merged schema, in-batch LWW reduce
+      // ---- change rows under the merged schema, in-batch reduce (LWW or
+      // patch-fold). In patch mode an I sets every column, a U its non-null
+      // parsed fields (absent OR explicit JSON null both mean leave-alone —
+      // the NiFi MODIFY contract), an R marks its present fields as unset
+      // at this LSN (value nulled, setter recorded), a D stamps the wipe
+      // boundary — identical per-event prep to [[PatchApply.applyPatches]].
       val good = withPayload.filter(!col("_bad"))
-      val changes = good.select(
-        Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
-          payloadNames.map(n => col("_p").getField(n).cast(mergedPayload(n).dataType).as(n)) ++
-          Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol)): _*)
+      val changes =
+        if (!patch)
+          good.select(
+            Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
+              payloadNames.map(n => col("_p").getField(n).cast(mergedPayload(n).dataType).as(n)) ++
+              Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol)): _*)
+        else {
+          val setEntries = array(payloadNames.map(n =>
+            struct(lit(n).as("key"),
+              when(col("op") === "I" || col("_p").getField(n).isNotNull, col("lsn"))
+                .as("value"))): _*)
+          good.select(
+            Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
+              payloadNames.map(n => when(col("op") === "R", lit(null))
+                .otherwise(col("_p").getField(n)).cast(mergedPayload(n).dataType).as(n)) ++
+              Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol),
+                when(col("op") === "D", typedLit(Map.empty[String, Long]))
+                  .otherwise(map_from_entries(
+                    filter(setEntries, e => e.getField("value").isNotNull)))
+                  .as(PatchApply.SetLsnCol),
+                when(col("op") === "D", col("lsn")).otherwise(lit(PatchApply.NoDelete))
+                  .as(PatchApply.DelLsnCol)): _*)
+        }
 
       reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
         scan.buckets, events, malformed, minLsn, maxLsn, schemaDiff.toString,
-        batchId, policy, lineageDir, t0, tScan, tDead)
+        batchId, policy, lineageDir, t0, tScan, tDead,
+        if (patch) PatchApply.patchFold(payloadNames) else IceLite.lwwReduce)
     } finally {
       payloadCache.foreach(_.unpersist())
       parsed.unpersist()

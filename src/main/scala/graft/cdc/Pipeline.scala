@@ -24,6 +24,11 @@ object Pipeline {
     * the last `retainVersions` snapshots readable for time travel). Off by
     * default — a long-running tail SHOULD set it, or the merge-on-read
     * table accumulates every superseded delta/base file forever.
+    *
+    * `merge`: `"lww"` (whole-row last-writer-wins, the default) or
+    * `"patch"` (partial-update: per-attribute I/U/R/D via [[PatchApply]]'s
+    * setter-LSN fold — the reference's MODIFY flow as a STREAMING job, with
+    * the same checkpoint resume, dead letter, exactly-once and evolution).
     */
   case class Config(feedDir: String, tablePath: String, checkpointDir: String,
                     deadLetterDir: Option[String] = None,
@@ -32,7 +37,18 @@ object Pipeline {
                     maxFilesPerTrigger: Option[Int] = None,
                     policy: MergeApply.CompactionPolicy = MergeApply.CompactionPolicy(),
                     retainVersions: Option[Int] = None,
-                    vacuumEvery: Int = 8)
+                    vacuumEvery: Int = 8,
+                    merge: String = "lww") {
+    require(merge == "lww" || merge == "patch", s"unknown merge mode: $merge")
+    def isPatch: Boolean = merge == "patch"
+  }
+
+  private def ensureTable(cfg: Config): Unit =
+    if (!IceLite.exists(cfg.tablePath)) {
+      if (cfg.isPatch) PatchApply.create(cfg.tablePath, numBuckets = cfg.numBuckets)
+      else IceLite.create(cfg.tablePath, numBuckets = cfg.numBuckets)
+      ()
+    }
 
   /** Auto-vacuum hook: runs after a committed batch when the new snapshot
     * version crosses a `vacuumEvery` boundary. Safe alongside the live
@@ -50,7 +66,7 @@ object Pipeline {
     * batchIds converge to the same final table state.
     */
   def replay(spark: SparkSession, cfg: Config): Seq[MergeApply.ApplyResult] = {
-    if (!IceLite.exists(cfg.tablePath)) IceLite.create(cfg.tablePath, numBuckets = cfg.numBuckets)
+    ensureTable(cfg)
     val results = scala.collection.mutable.ArrayBuffer.empty[MergeApply.ApplyResult]
 
     var reader = spark.readStream
@@ -63,7 +79,7 @@ object Pipeline {
     val q = raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val r = MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
-          cfg.deadLetterDir, cfg.lineageDir, cfg.policy)
+          cfg.deadLetterDir, cfg.lineageDir, cfg.policy, patch = cfg.isPatch)
         maybeVacuum(cfg, r)
         results.synchronized { results += r }
         ()
@@ -131,7 +147,7 @@ object Pipeline {
            intervalMs: Long = 1000L,
            onBatch: MergeApply.ApplyResult => Unit = _ => ())
           : org.apache.spark.sql.streaming.StreamingQuery = {
-    if (!IceLite.exists(cfg.tablePath)) IceLite.create(cfg.tablePath, numBuckets = cfg.numBuckets)
+    ensureTable(cfg)
     var reader = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
     cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
@@ -140,7 +156,7 @@ object Pipeline {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val r = MergeApply.applyRaw(spark, cfg.tablePath, batch, batchId,
-          cfg.deadLetterDir, cfg.lineageDir, cfg.policy)
+          cfg.deadLetterDir, cfg.lineageDir, cfg.policy, patch = cfg.isPatch)
         maybeVacuum(cfg, r)
         onBatch(r)
         ()
