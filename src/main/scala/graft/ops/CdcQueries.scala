@@ -623,10 +623,26 @@ object CdcQueries {
       // events.parquet carries ts as TIMESTAMP_NTZ; cast to the table's
       // session-UTC TimestampType (same instant — the session zone is UTC).
       when(op === "I" || (op === "U" && m3 === 2), col("ts").cast(TimestampType)).as("ts"))
-    (0 until 3).foreach { b =>
-      PatchApply.applyPatches(spark, table,
-        changes.filter(pmod(col("lsn"), lit(3)) === b), b.toLong)
-    }
+    // Replayed through the STREAMING pipeline in patch mode (two staged
+    // phases through one checkpoint — resume covered), not the typed batch
+    // API: the driver oracle certifies the full JSONL path. to_json's
+    // null-field dropping IS the patch contract: a U's unset columns go
+    // absent (leave-alone), an R's marked columns ride as markers, an I's
+    // absent columns parse to null and set null.
+    val lines = changes.select(to_json(struct(col("op"), col("lsn"),
+      col("conv_id"), col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"),
+          // microsecond render (session zone is UTC): to_json's default
+          // timestamp format would truncate to millis and break the
+          // bit-identity with the oracle's raw ts
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4), merge = "patch")
+    FeedGen.writeFeed(lines.filter(pmod(col("lsn"), lit(2)) === 0), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    FeedGen.writeFeed(lines.filter(pmod(col("lsn"), lit(2)) === 1), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
     PatchApply.read(spark, table).orderBy("conv_id", "turn_idx")
   }
 
