@@ -58,29 +58,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object PatchApply {
 
-  val SetLsnCol = "_setlsn"
-  val DelLsnCol = "_dlsn"
+  val SetLsnCol: String = IceLite.SetLsnCol
+  val DelLsnCol: String = IceLite.DelLsnCol
   /** `_dlsn` sentinel for "no delete seen" (keeps the column non-null so
     * `max` needs no null handling and parquet stats stay usable).
     */
   val NoDelete: Long = Long.MinValue
 
-  private def keyCols: Seq[Column] = IceLite.KeyCols.map(col)
-
   /** Stored schema of a patch table: the LWW full schema plus the two
-    * patch-merge internals.
+    * patch-merge internals. Their presence is what flips every generic
+    * IceLite read path ([[IceLite.readStored]], [[IceLite.changesBetween]])
+    * to the patch fold automatically.
     */
   def patchFullSchema(payload: StructType): StructType =
     StructType(IceLite.fullSchema(payload).fields :+
       StructField(SetLsnCol, MapType(StringType, LongType), nullable = false) :+
       StructField(DelLsnCol, LongType, nullable = false))
 
-  /** Payload fields of a patch snapshot (strips the patch internals the
-    * generic [[Snapshot.payloadSchema]] does not know about).
+  /** Payload fields of a patch snapshot (the generic [[Snapshot
+    * .payloadSchema]] strips the patch internals too; kept as the
+    * patch-path name for its call sites).
     */
-  def payloadSchema(snap: Snapshot): StructType =
-    StructType(snap.payloadSchema.fields
-      .filterNot(f => f.name == SetLsnCol || f.name == DelLsnCol))
+  def payloadSchema(snap: Snapshot): StructType = snap.payloadSchema
 
   /** Create an empty patch table (same layout as [[IceLite.create]], stored
     * schema extended with the patch internals).
@@ -99,30 +98,13 @@ object PatchApply {
   /** The patch fold over rows carrying (`keys`, payload, `_lsn`, `_deleted`,
     * `_setlsn`, `_dlsn`) — raw per-event rows and folded generation rows are
     * the same shape, so one reducer serves batch reduce, compaction merge
-    * and merge-on-read.
+    * and merge-on-read. The implementation lives in [[IceLite.patchReduce]]
+    * (payload derived from the frame's own schema — which for every caller
+    * equals `payload`) so the generic table reads auto-select it without a
+    * table→cdc dependency.
     */
-  def patchFold(payload: Seq[String])(df: DataFrame): DataFrame = {
-    def setLsn(c: String): Column = element_at(col(SetLsnCol), lit(c))
-    val aggs =
-      max(col(DelLsnCol)).as("_dl") +:
-        max(col(IceLite.LsnCol)).as("_l") +:
-        max_by(col(IceLite.DeletedCol), col(IceLite.LsnCol)).as("_del") +:
-        payload.map(c =>
-          max_by(struct(col(c).as("v"), setLsn(c).as("l")), setLsn(c)).as(s"_w_$c"))
-    val entries = array(payload.map(c =>
-      struct(lit(c).as("key"), col(s"_w_$c").getField("l").as("value"))): _*)
-    df.groupBy(keyCols: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        keyCols ++
-          payload.map(c => when(col(s"_w_$c").getField("l") > col("_dl"),
-            col(s"_w_$c").getField("v")).as(c)) ++
-          Seq(col("_l").as(IceLite.LsnCol), col("_del").as(IceLite.DeletedCol),
-            map_from_entries(filter(entries,
-              e => e.getField("value").isNotNull && e.getField("value") > col("_dl")))
-              .as(SetLsnCol),
-            col("_dl").as(DelLsnCol)): _*)
-  }
+  def patchFold(payload: Seq[String])(df: DataFrame): DataFrame =
+    IceLite.patchReduce(df)
 
   /** Apply one typed micro-batch of partial changes. Contract matches
     * [[MergeApply.applyChanges]] — columns `op` (I/U/R/D), `lsn`, `conv_id`,
@@ -205,14 +187,10 @@ object PatchApply {
   }
 
   /** Live rows of a patch table under the public schema: merge-on-read with
-    * the patch fold, tombstones and internals dropped. Resolves the
-    * published ref exactly like [[IceLite.read]].
+    * the patch fold, tombstones and internals dropped. Since the generic
+    * read auto-selects the patch fold from the stored schema, this IS
+    * [[IceLite.read]] — kept as the patch-path name for its call sites.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val snap = IceLite.loadPublished(path)
-    val payload = payloadSchema(snap).fieldNames.toSeq
-    IceLite.readStored(spark, path, snap, None, patchFold(payload))
-      .filter(!col(IceLite.DeletedCol))
-      .select((IceLite.KeyCols ++ payload).map(col): _*)
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    IceLite.read(spark, path)
 }

@@ -48,6 +48,15 @@ object IceLite {
 
   val LsnCol = "_lsn"
   val DeletedCol = "_deleted"
+  /** Partial-update internals ([[graft.cdc.PatchApply]] semantics): their
+    * presence in a stored schema marks a PATCH table, and every generic
+    * read path ([[readStored]], [[changesBetween]]) auto-selects the
+    * per-column setter-LSN fold over whole-row LWW for it — a caller who
+    * opens a patch table with the plain API gets the table's own merge,
+    * never a silently-wrong whole-row arbitration.
+    */
+  val SetLsnCol = "_setlsn"
+  val DelLsnCol = "_dlsn"
   val BucketCol = "_bucket"
   val KeyCols: Seq[String] = Seq("conv_id", "turn_idx")
 
@@ -99,10 +108,14 @@ object IceLite {
       copy(committedBatches = recent.filter(_ > wm), batchWatermark = wm)
     }
     def schema: StructType = schemas(schemaV)
-    /** Payload fields = stored schema minus keys and internal columns. */
+    /** Payload fields = stored schema minus keys and internal columns
+      * (the LWW pair AND the patch-merge internals — user-visible columns
+      * only, whichever merge semantics the table runs).
+      */
     def payloadSchema: StructType =
       StructType(schema.fields.filterNot(f =>
-        KeyCols.contains(f.name) || f.name == LsnCol || f.name == DeletedCol))
+        KeyCols.contains(f.name) || f.name == LsnCol || f.name == DeletedCol ||
+          f.name == SetLsnCol || f.name == DelLsnCol))
   }
 
   private val mapper = new ObjectMapper()
@@ -537,7 +550,11 @@ object IceLite {
     */
   def readStored(spark: SparkSession, path: String, snap: Snapshot,
                  buckets: Option[Set[Int]] = None,
-                 reduce: DataFrame => DataFrame = lwwReduce): DataFrame = {
+                 reduce: DataFrame => DataFrame = null): DataFrame = {
+    // Default reducer = whatever the table's own schema calls for (LWW, or
+    // the patch fold on a partial-update table) — an explicit reducer
+    // always wins.
+    val doReduce = Option(reduce).getOrElse(reduceFor(snap))
     def pick(es: Seq[BucketEntry]) =
       buckets.map(bs => es.filter(e => bs.contains(e.bucket))).getOrElse(es)
     val bases = pick(snap.buckets)
@@ -546,7 +563,7 @@ object IceLite {
     val dirtyBuckets = deltas.map(_.bucket).toSet
     val clean = readEntries(spark, path, snap, bases.filterNot(e => dirtyBuckets.contains(e.bucket)))
     val dirtyIn = bases.filter(e => dirtyBuckets.contains(e.bucket)) ++ deltas
-    val dirty = readEntries(spark, path, snap, dirtyIn).map(reduce)
+    val dirty = readEntries(spark, path, snap, dirtyIn).map(doReduce)
     (clean, dirty) match {
       case (Some(c), Some(d)) => c.unionByName(d)
       case (Some(c), None) => c
@@ -580,6 +597,49 @@ object IceLite {
       .select(KeyCols.map(col) ++ others.map(n => col("_w").getField(n).as(n)): _*)
   }
 
+  private[graft] def isPatchSchema(s: StructType): Boolean =
+    s.fieldNames.contains(SetLsnCol)
+
+  /** The partial-update fold (PatchApply semantics — see that object's
+    * scaladoc for the design): per key one `groupBy`, per column the
+    * `max_by((value, setterLsn), setterLsn)` winner gated by the wipe
+    * boundary `_dlsn`; same shuffle shape and skew behavior as
+    * [[lwwReduce]]. Payload columns derive from the frame's own schema, so
+    * the one fold serves batch reduce, compaction merge and merge-on-read.
+    */
+  private[graft] def patchReduce(df: DataFrame): DataFrame = {
+    val payload = df.schema.fieldNames.filterNot(n =>
+      KeyCols.contains(n) || n == LsnCol || n == DeletedCol ||
+        n == SetLsnCol || n == DelLsnCol).toSeq
+    def setLsn(c: String): org.apache.spark.sql.Column =
+      element_at(col(SetLsnCol), lit(c))
+    val aggs =
+      max(col(DelLsnCol)).as("_dl") +:
+        max(col(LsnCol)).as("_l") +:
+        max_by(col(DeletedCol), col(LsnCol)).as("_del") +:
+        payload.map(c =>
+          max_by(struct(col(c).as("v"), setLsn(c).as("l")), setLsn(c)).as(s"_w_$c"))
+    val entries = array(payload.map(c =>
+      struct(lit(c).as("key"), col(s"_w_$c").getField("l").as("value"))): _*)
+    df.groupBy(KeyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        KeyCols.map(col) ++
+          payload.map(c => when(col(s"_w_$c").getField("l") > col("_dl"),
+            col(s"_w_$c").getField("v")).as(c)) ++
+          Seq(col("_l").as(LsnCol), col("_del").as(DeletedCol),
+            map_from_entries(filter(entries,
+              e => e.getField("value").isNotNull && e.getField("value") > col("_dl")))
+              .as(SetLsnCol),
+            col("_dl").as(DelLsnCol)): _*)
+  }
+
+  /** The merge-on-read reducer a snapshot's own schema calls for: the
+    * patch fold on a partial-update table, whole-row LWW otherwise.
+    */
+  private[graft] def reduceFor(snap: Snapshot): DataFrame => DataFrame =
+    if (isPatchSchema(snap.schema)) patchReduce else lwwReduce
+
   /** Live rows under the public schema (tombstones and internals dropped).
     * Resolves the PUBLISHED ref: during a write-audit-publish window this is
     * the last audited snapshot, not the staged head (which auditors read via
@@ -604,7 +664,8 @@ object IceLite {
     readSnapshot(spark, path, loadVersion(path, f"v$version%05d.json"))
 
   def readSnapshot(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
-    val publicCols = snap.schema.fieldNames.filterNot(n => n == LsnCol || n == DeletedCol)
+    val publicCols = snap.schema.fieldNames.filterNot(n =>
+      n == LsnCol || n == DeletedCol || n == SetLsnCol || n == DelLsnCol)
     readStored(spark, path, snap)
       .filter(!col(DeletedCol))
       .select(publicCols.toIndexedSeq.map(col): _*)
@@ -661,8 +722,11 @@ object IceLite {
     val hi = if (until.maxLsn == Long.MinValue) Long.MaxValue else until.maxLsn
     val candidates = (until.buckets ++ until.deltas)
       .filter(e => e.maxLsn > lo && e.minLsn <= hi)
+    // The window folds under the table's OWN merge (patch fold on a patch
+    // table): the net change per key is then a net PARTIAL state there —
+    // consumers apply it as a patch, exactly like any other arriving batch.
     readEntries(spark, path, until, candidates)
-      .map(df => lwwReduce(df.filter(col(LsnCol) > lo && col(LsnCol) <= hi)))
+      .map(df => reduceFor(until)(df.filter(col(LsnCol) > lo && col(LsnCol) <= hi)))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], until.schema))
   }

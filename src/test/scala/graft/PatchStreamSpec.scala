@@ -87,6 +87,45 @@ class PatchStreamSpec extends AnyFunSuite {
     assert(twin === got, "streaming JSONL path and typed path must converge identically")
   }
 
+  test("generic IceLite reads auto-select the patch fold on a patch table") {
+    val base = TestSpark.freshDir("patch-autofold")
+    val p1 = Seq(
+      """{"op":"I","lsn":1,"conv_id":"c","turn_idx":0,"after":{"role":"user","text":"orig","score":1.0}}""")
+    val p2 = Seq( // two partial patches to the SAME key in one window
+      """{"op":"U","lsn":2,"conv_id":"c","turn_idx":0,"after":{"text":"patched"}}""",
+      """{"op":"U","lsn":3,"conv_id":"c","turn_idx":0,"after":{"score":2.0}}""")
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 2, merge = "patch")
+    FeedGen.writeFeed(p1.toDF("value"), s"$base/feed/p1", files = 1)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(s"$base/table").version
+    FeedGen.writeFeed(p2.toDF("value"), s"$base/feed/p2", files = 1)
+    Pipeline.replay(spark, cfg)
+
+    // Plain IceLite.read (no patch-aware caller): whole-row LWW would
+    // return only lsn-3's columns (text null); the auto-selected patch
+    // fold must merge base + both deltas per column.
+    val live = IceLite.read(spark, s"$base/table")
+      .as[(String, Int, Option[String], Option[String], Option[Double])]
+      .collect().toSet
+    assert(live == Set(("c", 0, Some("user"), Some("patched"), Some(2.0))))
+
+    // changesSince folds the window under the patch semantics: the net
+    // change is a net PARTIAL state (both patched columns set, role — not
+    // touched in the window — null), applied downstream as a patch.
+    val ch = IceLite.changesSince(spark, s"$base/table", vA)
+      .select("conv_id", "turn_idx", "role", "text", "score")
+      .as[(String, Int, Option[String], Option[String], Option[Double])]
+      .collect().toSet
+    assert(ch == Set(("c", 0, None, Some("patched"), Some(2.0))))
+
+    // readAt time-travels with the right fold too.
+    val at = IceLite.readAt(spark, s"$base/table", vA)
+      .as[(String, Int, Option[String], Option[String], Option[Double])]
+      .collect().toSet
+    assert(at == Set(("c", 0, Some("user"), Some("orig"), Some(1.0))))
+  }
+
   test("lww mode still rejects R (dead-lettered, not applied)") {
     val base = TestSpark.freshDir("patch-stream-lww-r")
     val lines = Seq(
