@@ -34,6 +34,7 @@ object SparkEntry {
     "cdc_time_travel" -> ((s, d) => CdcQueries.timeTravelRead(s, d)),
     "cdc_rollback_replay" -> ((s, d) => CdcQueries.rollbackReplay(s, d)),
     "cdc_patch_upsert" -> ((s, d) => CdcQueries.patchUpsert(s, d)),
+    "cdc_patch_changes" -> ((s, d) => CdcQueries.patchChanges(s, d)),
     "cdc_bootstrap_handoff" -> ((s, d) => CdcQueries.bootstrapHandoff(s, d)),
     "cdc_version_diff" -> ((s, d) => CdcQueries.versionDiff(s, d)),
     "cdc_wap_publish" -> ((s, d) => CdcQueries.wapPublish(s, d)),
@@ -959,6 +960,47 @@ object SparkEntry {
         |FROM m JOIN d USING (conv_id, turn_idx)
         |GROUP BY 1, 2
         |HAVING (arg_max({x: op}, lsn)).x <> 'D'
+        |ORDER BY 1, 2""".stripMargin,
+    // Incremental consumption of a PATCH table: the oracle folds ONLY the
+    // post-cutoff window's events under the per-column setter arbitration
+    // (window-internal wipe boundary included) — the net PARTIAL state a
+    // patch-CDF consumer applies downstream; deletes ride as op='D' rows
+    // with null payload.
+    "cdc_patch_changes" ->
+      """WITH p AS (
+        |  SELECT event_id AS lsn,
+        |         CASE WHEN event_type = 'error' THEN 'D'
+        |              WHEN event_id % 5 = 0 THEN 'I'
+        |              WHEN event_id % 7 = 3 THEN 'R' ELSE 'U' END AS op,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         event_type, "value" AS v
+        |  FROM events
+        |  WHERE event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)),
+        |m AS (
+        |  SELECT lsn, op, conv_id, turn_idx,
+        |    CASE WHEN op = 'I' OR (op = 'U' AND lsn % 3 = 0) THEN event_type END AS role,
+        |    CASE WHEN op = 'I' OR (op = 'U' AND lsn % 3 IN (0, 2))
+        |         THEN event_type || '#' || CAST(lsn AS VARCHAR) END AS text,
+        |    CASE WHEN (op = 'I' AND lsn % 7 <> 0) OR (op = 'U' AND lsn % 3 = 1) THEN v END AS "value"
+        |  FROM p),
+        |d AS (
+        |  SELECT conv_id, turn_idx,
+        |         coalesce(max(CASE WHEN op = 'D' THEN lsn END), -1) AS dl
+        |  FROM m GROUP BY 1, 2)
+        |SELECT m.conv_id, m.turn_idx,
+        |  CASE WHEN (arg_max({x: op}, lsn)).x = 'D' THEN 'D' ELSE 'U' END AS op,
+        |  (arg_max({x: role}, CASE WHEN op <> 'D' AND lsn > dl
+        |     AND (op = 'I' OR role IS NOT NULL
+        |          OR (op = 'R' AND lsn % 3 = 0)) THEN lsn END)).x AS role,
+        |  (arg_max({x: text}, CASE WHEN op <> 'D' AND lsn > dl
+        |     AND (op = 'I' OR text IS NOT NULL
+        |          OR (op = 'R' AND lsn % 3 = 1)) THEN lsn END)).x AS text,
+        |  (arg_max({x: "value"}, CASE WHEN op <> 'D' AND lsn > dl
+        |     AND (op = 'I' OR "value" IS NOT NULL
+        |          OR (op = 'R' AND lsn % 3 = 2)) THEN lsn END)).x AS "value"
+        |FROM m JOIN d USING (conv_id, turn_idx)
+        |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "cdc_upsert_lww" ->
       """WITH feed AS (

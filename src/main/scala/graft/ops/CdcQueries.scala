@@ -646,6 +646,62 @@ object CdcQueries {
     PatchApply.read(spark, table).orderBy("conv_id", "turn_idx")
   }
 
+  /** Incremental consumption of a PATCH table ([[IceLite.changesSince]]
+    * composed with the partial-update semantics): the I/U/R/D patch feed is
+    * staged in two LSN-ordered phases; after phase 2 the incremental cursor
+    * yields, for every key phase 2 touched, the net PARTIAL state — each
+    * column's phase-2 winner under the setter-LSN arbitration (columns
+    * untouched in the window are null = leave-alone), deletes as `op='D'`
+    * rows — which a downstream consumer applies as a patch, exactly like
+    * any arriving batch. Same manifest-level zone-map pruning as the LWW
+    * form; the generic read auto-selects the patch fold from the stored
+    * schema.
+    */
+  def patchChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = freshDir("patchchanges", sfDir)
+    val table = s"$base/table"
+    PatchApply.create(table, StructType(Seq(
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("value", DoubleType))),
+      numBuckets = 16)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val op = when(col("event_type") === "error", "D")
+      .when(col("event_id") % 5 === 0, "I")
+      .when(col("event_id") % 7 === 3, "R").otherwise("U")
+    val m3 = col("event_id") % 3
+    val half = ev.agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val changes = ev.select(
+      op.as("op"),
+      col("event_id").as("lsn"),
+      concat(lit("conv-"), lpad(col("user_id").cast(StringType), 4, "0")).as("conv_id"),
+      (get_json_object(col("props"), "$.k").cast(IntegerType) % 10).as("turn_idx"),
+      when(op === "I" || (op === "U" && m3 === 0), col("event_type"))
+        .when(op === "R" && m3 === 0, lit("x")).as("role"),
+      when(op === "I" || (op === "U" && m3.isin(0, 2)),
+        concat(col("event_type"), lit("#"), col("event_id").cast(StringType)))
+        .when(op === "R" && m3 === 1, lit("x")).as("text"),
+      when((op === "I" && col("event_id") % 7 =!= 0) || (op === "U" && m3 === 1),
+        col("value"))
+        .when(op === "R" && m3 === 2, lit(0.0)).as("value"))
+    val lines = changes.select(to_json(struct(col("op"), col("lsn"),
+      col("conv_id"), col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4), merge = "patch")
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(table).version
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    IceLite.changesSince(spark, table, vA)
+      .select(col("conv_id"), col("turn_idx"),
+        when(col(IceLite.DeletedCol), "D").otherwise("U").as("op"),
+        col("role"), col("text"), col("value"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** Chat-template render + loss mask: the training-example emission step
     * that turns the CONVERGED conversation table into model-ready sequences.
     * Each live turn renders as a ChatML-style segment
