@@ -74,8 +74,9 @@ object MergeApply {
   private[cdc] val reservedNames =
     Set("conv_id", "turn_idx", IceLite.LsnCol, IceLite.DeletedCol, IceLite.BucketCol, "op", "lsn")
 
-  /** Apply one micro-batch of raw JSONL lines (single `value` column). */
-  /** `patch = true` runs the SAME raw path under the partial-update merge
+  /** Apply one micro-batch of raw JSONL lines (single `value` column).
+    *
+    * `patch = true` runs the SAME raw path under the partial-update merge
     * semantics ([[PatchApply]]): the op set grows `R` (per-attribute
     * REMOVE — its `after` object's keys name the columns to unset; the
     * marker values should be type-compatible with the column or the schema
@@ -98,7 +99,12 @@ object MergeApply {
       // a crash between sink write and checkpoint commit). No-op.
       return ApplyResult(batchId, committed = false, snap.version, 0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)
     }
-    val validOps = if (patch) Seq("I", "U", "R", "D") else Seq("I", "U", "D")
+    // The table's own schema decides, like the read paths: a writer aimed
+    // at an existing patch table runs the patch semantics even if the
+    // caller forgot the flag — a whole-row write into a patch table would
+    // silently corrupt its stored schema otherwise.
+    val isPatch = patch || IceLite.isPatchSchema(snap.schema)
+    val validOps = if (isPatch) Seq("I", "U", "R", "D") else Seq("I", "U", "D")
 
     // Cache the parsed batch once (columnar, memory-preferred): it feeds the
     // fused scan, the dead-letter branch and the LWW apply. Measured against
@@ -126,12 +132,12 @@ object MergeApply {
       val observed = StructType(scan.schema.fields.filterNot(f =>
         reservedNames.contains(f.name) ||
           f.name == PatchApply.SetLsnCol || f.name == PatchApply.DelLsnCol))
-      val basePayload = if (patch) PatchApply.payloadSchema(snap) else snap.payloadSchema
+      val basePayload = snap.payloadSchema // strips patch internals itself
       val mergedPayload = SchemaMerge.mergeStruct(basePayload, observed)
       val schemaDiff = SchemaMerge.diff(basePayload, mergedPayload)
       val newSchemaV = if (schemaDiff.isEmpty) snap.schemaV else snap.schemaV + 1
       val fullOf: StructType => StructType =
-        if (patch) PatchApply.patchFullSchema else IceLite.fullSchema
+        if (isPatch) PatchApply.patchFullSchema else IceLite.fullSchema
       val schemas =
         if (schemaDiff.isEmpty) snap.schemas
         else snap.schemas + (newSchemaV -> fullOf(mergedPayload))
@@ -200,7 +206,7 @@ object MergeApply {
       // boundary — identical per-event prep to [[PatchApply.applyPatches]].
       val good = withPayload.filter(!col("_bad"))
       val changes =
-        if (!patch)
+        if (!isPatch)
           good.select(
             Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
               payloadNames.map(n => col("_p").getField(n).cast(mergedPayload(n).dataType).as(n)) ++
@@ -226,7 +232,7 @@ object MergeApply {
       reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
         scan.buckets, events, malformed, minLsn, maxLsn, schemaDiff.toString,
         batchId, policy, lineageDir, t0, tScan, tDead,
-        if (patch) PatchApply.patchFold(payloadNames) else IceLite.lwwReduce)
+        if (isPatch) PatchApply.patchFold(payloadNames) else IceLite.lwwReduce)
     } finally {
       payloadCache.foreach(_.unpersist())
       parsed.unpersist()
@@ -252,6 +258,9 @@ object MergeApply {
                    lineageDir: Option[String] = None,
                    policy: CompactionPolicy = CompactionPolicy()): ApplyResult = {
     val t0 = System.nanoTime()
+    require(!IceLite.isPatchSchema(IceLite.load(tablePath).schema),
+      s"$tablePath is a partial-update (patch) table — use PatchApply.applyPatches; " +
+        "a whole-row LWW write would corrupt its stored schema")
     val snap = IceLite.load(tablePath)
     if (snap.hasBatch(batchId)) {
       return ApplyResult(batchId, committed = false, snap.version, 0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)

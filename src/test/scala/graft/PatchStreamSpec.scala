@@ -126,6 +126,35 @@ class PatchStreamSpec extends AnyFunSuite {
     assert(at == Set(("c", 0, Some("user"), Some("orig"), Some(1.0))))
   }
 
+  test("a writer aimed at an existing patch table auto-runs patch semantics") {
+    val base = TestSpark.freshDir("patch-autowrite")
+    PatchApply.create(s"$base/table", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("role", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))),
+      numBuckets = 2)
+    val lines = Seq(
+      """{"op":"I","lsn":1,"conv_id":"c","turn_idx":0,"after":{"role":"user","text":"orig"}}""",
+      """{"op":"U","lsn":2,"conv_id":"c","turn_idx":0,"after":{"text":"patched"}}""",
+      """{"op":"R","lsn":3,"conv_id":"c","turn_idx":0,"after":{"role":"x"}}""")
+    // DEFAULT config — merge flag forgotten — must still run patch
+    // semantics (the table's own schema decides): role unset by R, text
+    // patched, the U's missing role NOT nulled by whole-row LWW.
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt", numBuckets = 2)
+    FeedGen.writeFeed(lines.toDF("value"), s"$base/feed/p1", files = 1)
+    Pipeline.replay(spark, cfg)
+    val got = IceLite.read(spark, s"$base/table")
+      .as[(String, Int, Option[String], Option[String])].collect().toSet
+    assert(got == Set(("c", 0, None, Some("patched"))))
+
+    // The typed whole-row path refuses a patch table loudly.
+    val ex = intercept[IllegalArgumentException] {
+      MergeApply.applyChanges(spark, s"$base/table",
+        Seq(("U", 9L, "c", 0, Some("r"), Some("t")))
+          .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text"), 99L)
+    }
+    assert(ex.getMessage.contains("PatchApply.applyPatches"))
+  }
+
   test("lww mode still rejects R (dead-lettered, not applied)") {
     val base = TestSpark.freshDir("patch-stream-lww-r")
     val lines = Seq(
