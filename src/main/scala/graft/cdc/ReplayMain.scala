@@ -59,7 +59,10 @@ object ReplayMain {
           feedDir, tableDir, ckpt,
           deadLetterDir = Some(s"$tableDir/_deadletter"),
           lineageDir = Some(s"$tableDir/_lineage"),
-          numBuckets = numBuckets, maxFilesPerTrigger = mfpt, policy = policy))
+          numBuckets = numBuckets, maxFilesPerTrigger = mfpt, policy = policy,
+          // "lww" (default) or "patch" — the partial-update pipeline from
+          // the same spark-submit entry
+          merge = sys.env.getOrElse("SPARK_GRAFT_MERGE", "lww")))
         val secs = (System.nanoTime() - t0) / 1e9
         results.foreach(r => println(s"[batch ${r.batchId}] committed=${r.committed} " +
           s"version=${r.version} events=${r.events} applied=${r.applied} " +
