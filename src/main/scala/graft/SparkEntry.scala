@@ -230,6 +230,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_substring" -> ((s, d) => TextOps.dedupSubstring(s, d)),
     "lm_surprisal" -> ((s, d) => TextOps.lmSurprisal(s, d)),
+    // §2.10 Aggregator tier: Count-Min token-frequency sketch (typed
+    // Aggregator, fixed mergeable buffer — no vocab-key shuffle).
+    "sketch_token_cms" -> ((s, d) => TextOps.sketchTokenCms(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     // Corpus-scale simhash config: 16-bit blocks + 1-bit multi-index
     // probes. SAME oracle as dedup_simhash — the driver proves the scaled
@@ -491,6 +494,29 @@ object SparkEntry {
     // Corpus-unigram-LM quality score: integer bit-length surprisal
     // (len(bin(N)) - len(bin(c)) per token, weighted by per-doc tf) — the
     // perplexity-filter signal with no float log in the comparison path.
+    // Count-Min sketch cells recomputed exactly: cell(d, tok) = first 3 hex
+    // chars of md5(d || ':' || tok); estimate = min over the 4 depth rows.
+    // Integer counts end to end — the CMS ≥-true-count guarantee is visible
+    // in the compared rows themselves.
+    "sketch_token_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tok AS (SELECT tok FROM toks WHERE len(tok) > 0),
+        |vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |cells AS (
+        |  SELECT d, substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 3) AS cell,
+        |         sum(c) AS cc
+        |  FROM vocab CROSS JOIN depths GROUP BY 1, 2),
+        |probes AS (SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 8)
+        |SELECT p.tok, CAST(p.c AS BIGINT) AS true_cnt,
+        |       CAST(min(cells.cc) AS BIGINT) AS cms_est
+        |FROM probes p
+        |CROSS JOIN depths
+        |JOIN cells ON cells.d = depths.d
+        | AND cells.cell = substr(md5(CAST(depths.d AS VARCHAR) || ':' || p.tok), 1, 3)
+        |GROUP BY 1, 2
+        |ORDER BY p.tok""".stripMargin,
     "lm_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

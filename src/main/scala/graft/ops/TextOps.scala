@@ -207,6 +207,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus token-frequency heavy hitters via the [[graft.functions.CmsSketch]]
+    * typed Aggregator (§2.10's custom-aggregation tier): ONE pass folds the
+    * whole token stream into a fixed 4×4096 Count-Min buffer (map-side
+    * partial per partition, cell-wise merge — the exchange moves
+    * O(partitions) 128 KiB buffers, never vocab keys), then the top-k tokens
+    * are point-queried against it. The exact `groupBy` side here exists to
+    * CERTIFY the sketch (pick the probes, carry the true counts the
+    * ≥-estimate bound is checked against) — at 10^12 tokens the sketch
+    * replaces that groupBy, it doesn't sit next to it. Driver-side work is
+    * O(sketch) + O(k): one 16384-long buffer and k probe rows, never row
+    * data. The DuckDB oracle recomputes every cell from the same md5-prefix
+    * hash and takes the same min — estimates match bit-for-bit, no
+    * approximate-compare escape hatch needed.
+    */
+  def sketchTokenCms(spark: SparkSession, sfDir: String, depth: Int = 4,
+                     hexChars: Int = 3, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CmsSketch
+    val toks = docs(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cms = udaf(new CmsSketch(depth, hexChars), org.apache.spark.sql.Encoders.STRING)
+    val sketch = toks.agg(cms(col("tok"))).head.getSeq[Long](0).toArray
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("tok")).limit(k)
+      .as[(String, Long)].collect()
+    val rows = probes.toSeq
+      .map { case (tok, c) => (tok, c, CmsSketch.estimate(sketch, tok, depth, hexChars)) }
+      .sortBy(_._1)
+    spark.createDataFrame(rows).toDF("tok", "true_cnt", "cms_est")
+  }
+
   /** Exact n-gram Jaccard SCORES on LSH candidates (the verify stage of the
     * dedup pipeline, with the measured similarity retained).
     */
