@@ -31,6 +31,9 @@ object SparkEntry {
     "cdc_replay_audit" -> ((s, d) => CdcQueries.replayAudit(s, d)),
     "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
+    // Two independent writers racing commits on one table (occRetry OCC +
+    // attempt-unique data dirs + orphan vacuum); oracle is the plain LWW.
+    "cdc_concurrent_writers" -> ((s, d) => CdcQueries.concurrentWriters(s, d)),
     "cdc_time_travel" -> ((s, d) => CdcQueries.timeTravelRead(s, d)),
     "cdc_rollback_replay" -> ((s, d) => CdcQueries.rollbackReplay(s, d)),
     "cdc_patch_upsert" -> ((s, d) => CdcQueries.patchUpsert(s, d)),
@@ -1028,6 +1031,25 @@ object SparkEntry {
         |FROM m JOIN d USING (conv_id, turn_idx)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // Two racing writers + commit-retry + vacuum converge to the SAME state
+    // a single straight-through LWW pass computes — the oracle is identical
+    // to cdc_upsert_lww (it never heard of writers, retries, or the GC).
+    "cdc_concurrent_writers" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value", ts
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed)
+        |SELECT conv_id, turn_idx, role, text, "value", ts
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     "cdc_upsert_lww" ->
       """WITH feed AS (
         |  SELECT event_id AS lsn,

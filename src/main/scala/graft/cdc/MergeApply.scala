@@ -254,6 +254,36 @@ object MergeApply {
     * from ONE small aggregation job (per-bucket counts + LSN range) —
     * the fused inference scan has nothing to infer.
     */
+  /** Optimistic-concurrency retry for INDEPENDENT writers sharing one table
+    * (a second ingest job, a compactor, a rebucket — the Iceberg
+    * commit-retry loop). `body` must be a full apply attempt that reloads
+    * the snapshot itself (every apply/maintenance verb here does): a lost
+    * snapshot CAS surfaces as `ConcurrentModificationException` from
+    * [[IceLite.commitSnapshot]] and the attempt re-runs against the new
+    * head. Safe because (a) attempt-unique data dirs mean a doomed attempt
+    * never touches files any committed snapshot references, and (b) every
+    * apply verb is exactly-once by batch epoch, so a retry of a batch that
+    * DID land no-ops. Non-conflict failures re-throw unless the table head
+    * moved during the attempt (a concurrent committer's auto-vacuum can
+    * reap a doomed attempt's orphan dir mid-write — same root cause, same
+    * retry). O(attempts) extra work, zero coordination beyond the commit
+    * lock every writer already takes.
+    */
+  def occRetry[A](tablePath: String, maxAttempts: Int = 5)(body: => A): A = {
+    var attempt = 1
+    while (true) {
+      val headBefore = IceLite.load(tablePath).version
+      try return body
+      catch {
+        case e: Throwable if attempt < maxAttempts &&
+            (e.isInstanceOf[java.util.ConcurrentModificationException] ||
+              IceLite.load(tablePath).version != headBefore) =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   def applyChanges(spark: SparkSession, tablePath: String, changes0: DataFrame, batchId: Long,
                    lineageDir: Option[String] = None,
                    policy: CompactionPolicy = CompactionPolicy()): ApplyResult = {
@@ -368,9 +398,18 @@ object MergeApply {
         val newVersion = snap.version + 1
         val hconf = spark.sessionState.newHadoopConf()
 
+        // Attempt-unique data dirs (Iceberg's unique-file-name rule): two
+        // INDEPENDENT writers racing toward the same next version must
+        // never share a directory — with a bare v<N> name the loser's
+        // Overwrite write would clobber the files the winner's committed
+        // snapshot references before the loser's own commit CAS fails.
+        // Orphan dirs from lost/crashed attempts are unreferenced by every
+        // snapshot and reclaimed by [[IceLite.vacuum]]'s reference-based GC.
+        val attemptTok = java.util.UUID.randomUUID().toString.take(8)
+
         // ---- delta append for non-compacting buckets (O(batch), no reads)
         val tWrite0 = System.nanoTime()
-        val deltaDir = f"data/v$newVersion%05d-delta"
+        val deltaDir = f"data/v$newVersion%05d-delta-$attemptTok"
         val deltaBuckets = touched -- toCompact
         val newDeltaEntries: Seq[BucketEntry] = if (deltaBuckets.nonEmpty) {
           val deltaPart = reduced.filter(!col(IceLite.BucketCol).isin(toCompact.toSeq: _*))
@@ -380,8 +419,8 @@ object MergeApply {
           // measured 4× slowdown at 32 cores). AQE can't help here: adaptive
           // execution is disabled for plans derived from a streaming source,
           // foreachBatch included.
-          // Retried (uncommitted) batches recompute the same version →
-          // Overwrite cleans stale files; committed ones never re-run.
+          // Retried (uncommitted) batches write a fresh attempt dir; the
+          // stale attempt's dir is an unreferenced orphan vacuum reclaims.
           deltaPart.repartition(col(IceLite.BucketCol))
             .sortWithinPartitions("conv_id", "turn_idx")
             .write.mode(SaveMode.Overwrite)
@@ -399,7 +438,7 @@ object MergeApply {
         val tCompact0 = System.nanoTime()
         val snapAligned = snap.copy(schemas = schemas, schemaV = newSchemaV)
         val (newBaseEntries, compactedRows) = if (toCompact.nonEmpty) {
-          val baseDir = f"data/v$newVersion%05d-base"
+          val baseDir = f"data/v$newVersion%05d-base-$attemptTok"
           val storedIn = IceLite.readEntries(spark, tablePath, snapAligned,
             (snap.buckets ++ snap.deltas).filter(e => toCompact.contains(e.bucket)))
           val batchIn = deltaShapeToStored(reduced.filter(col(IceLite.BucketCol).isin(toCompact.toSeq: _*)), snapAligned)

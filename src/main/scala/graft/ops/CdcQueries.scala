@@ -448,6 +448,71 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** TWO INDEPENDENT WRITERS committing concurrently to one table — the
+    * multi-writer optimistic-concurrency path (Iceberg's commit-retry loop)
+    * as a driver query. The events-derived change set is split by
+    * `event_id % 2` into two writer streams, each batched into 4 rounds by
+    * `(event_id / 2) % 4` (LSNs deliberately interleaved ACROSS rounds —
+    * LWW convergence must not depend on delivery order), and the two
+    * writers race each round from a `CyclicBarrier` so their apply→commit
+    * windows overlap for real. Every commit CAS loser re-runs via
+    * [[MergeApply.occRetry]]; attempt-unique data dirs guarantee a doomed
+    * attempt never touches files a committed snapshot references. A final
+    * reference-based `vacuum` reclaims the lost attempts' orphan dirs with
+    * the multi-writer history still readable. The DuckDB oracle is the
+    * straight-through per-key LWW over ALL events — it never heard of
+    * writers, rounds, retries, or the vacuum, so equality certifies
+    * serialized convergence. At 100 TB this is the table's maintenance
+    * story: a compactor, a rebucket, or a second regional ingest job can
+    * share the table with the live writer, paying only retried attempts.
+    */
+  def concurrentWriters(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("occwriters", sfDir)
+    val table = s"$base/table"
+    IceLite.create(table, numBuckets = 16)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(
+      col("event_id"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("event_id").as("lsn"),
+      concat(lit("conv-"), lpad(col("user_id").cast("string"), 4, "0")).as("conv_id"),
+      (get_json_object(col("props"), "$.k").cast("int") % 10).as("turn_idx"),
+      col("event_type").as("role"),
+      concat(col("event_type"), lit("#"), col("event_id").cast("string")).as("text"),
+      col("value"), col("ts"))
+    val rounds = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val retried = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(w: Int): Thread = new Thread(() => {
+      try {
+        (0 until rounds).foreach { r =>
+          // `div` (integer division), not `/` (Spark's `/` is double-typed)
+          val slice = ev.filter(col("event_id") % 2 === w &&
+              expr(s"(event_id div 2) % $rounds") === r)
+            .drop("event_id")
+          barrier.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          var attempts = 0
+          MergeApply.occRetry(table) {
+            attempts += 1
+            MergeApply.applyChanges(spark, table, slice, batchId = w * 100L + r)
+          }
+          if (attempts > 1) retried.addAndGet(attempts - 1)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }, s"occ-writer-$w")
+    val ts = Seq(writer(0), writer(1))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    val snap = IceLite.load(table)
+    require((0 until rounds).forall(r =>
+      snap.hasBatch(r.toLong) && snap.hasBatch(100L + r)),
+      s"missing committed batches: ${snap.committedBatches}")
+    IceLite.vacuum(table, keepVersions = 1) // reclaim lost attempts' orphans
+    IceLite.read(spark, table)
+      .select("conv_id", "turn_idx", "role", "text", "value", "ts")
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** Cross-batch incremental dedup as a driver query: the planted-dup
     * corpus staged in THREE doc_id-ordered batches (first half of the base
     * docs, second half, then the planted near-copies) through

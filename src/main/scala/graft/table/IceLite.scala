@@ -354,8 +354,12 @@ object IceLite {
     *
     * Safe against an in-flight writer: dirs whose encoded version is GREATER
     * than the current snapshot's belong to an uncommitted (in-flight or
-    * crashed) future commit — they are skipped, never deleted (a crashed
-    * attempt's files are reclaimed by the retry's Overwrite write instead).
+    * crashed) future commit — they are skipped, never deleted. Data dirs are
+    * attempt-unique (`v<N>-<kind>-<token>`), so an unreferenced dir at
+    * version ≤ current is PROVABLY dead: its attempt targeted a version some
+    * other commit already took, so its own commit CAS can never succeed —
+    * deleting it (even mid-write) only fails a write job that was doomed to
+    * throw commit-conflict anyway (MergeApply.occRetry absorbs both forms).
     * Unparseable dir names are also left alone.
     */
   def vacuum(path: String, keepVersions: Int = 1): Seq[String] = {
@@ -516,7 +520,10 @@ object IceLite {
     require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
     val snap = load(path)
     val newVersion = snap.version + 1
-    val baseDir = f"data/v$newVersion%05d-rebucket"
+    // Attempt-unique dir (see MergeApply.reduceAndCommit): a rebucket racing
+    // a live ingest writer toward the same version must not share its path;
+    // the CAS loser's dir becomes an unreferenced orphan vacuum reclaims.
+    val baseDir = f"data/v$newVersion%05d-rebucket-${java.util.UUID.randomUUID().toString.take(8)}"
     val stored = readStored(spark, path, snap)
       .withColumn(BucketCol, bucketExpr(col("conv_id"), newNumBuckets))
     val rowsIn = (snap.buckets ++ snap.deltas).map(_.rows).sum
