@@ -31,6 +31,10 @@ object SparkEntry {
     "cdc_replay_audit" -> ((s, d) => CdcQueries.replayAudit(s, d)),
     "cdc_skew_hotkey" -> ((s, d) => CdcQueries.skewedUpsert(s, d)),
     "cdc_changes_since" -> ((s, d) => CdcQueries.changesSinceUpsert(s, d)),
+    // The table consumed as a Structured Streaming SOURCE (format("icelite"),
+    // snapshot-version offsets owned by the consumer's checkpoint): run 1
+    // drains phase 1, run 2 resumes the checkpoint and gets ONLY phase 2.
+    "cdc_stream_consume" -> ((s, d) => CdcQueries.streamConsume(s, d)),
     // Two independent writers racing commits on one table (occRetry OCC +
     // attempt-unique data dirs + orphan vacuum); oracle is the plain LWW.
     "cdc_concurrent_writers" -> ((s, d) => CdcQueries.concurrentWriters(s, d)),
@@ -1131,6 +1135,39 @@ object SparkEntry {
     // Net change set since the phase-1 snapshot (events with lsn ≤ half):
     // for every key phase 2 touched, its final LWW winner; net deletes keep
     // op='D' with null payload (tombstones carry no payload in the table).
+    // Streaming consumption: run 1 = per-key LWW at lsn ≤ cutoff (net
+    // deletes included as op='D' null-payload rows), run 2 = per-key LWW
+    // among lsn > cutoff only — the checkpoint-resumed second window.
+    "cdc_stream_consume" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |cutoff AS (
+        |  SELECT max(lsn) AS l FROM feed
+        |  WHERE lsn <= (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)),
+        |w1 AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f, cutoff c WHERE f.lsn <= c.l),
+        |w2 AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed f, cutoff c WHERE f.lsn > c.l),
+        |both_runs AS (
+        |  SELECT 1 AS run, * FROM w1 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT 2 AS run, * FROM w2 WHERE rn = 1)
+        |SELECT run, conv_id, turn_idx, op,
+        |       CASE WHEN op = 'D' THEN NULL ELSE role END AS role,
+        |       CASE WHEN op = 'D' THEN NULL ELSE text END AS text,
+        |       CASE WHEN op = 'D' THEN NULL ELSE "value" END AS "value",
+        |       lsn
+        |FROM both_runs
+        |ORDER BY run, conv_id, turn_idx""".stripMargin,
     "cdc_changes_since" ->
       """WITH feed AS (
         |  SELECT event_id AS lsn,

@@ -513,6 +513,59 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** The table as a Structured Streaming SOURCE as a driver query
+    * (`format("icelite")`, [[graft.table.IceLiteSource]]): the same
+    * two-phase LSN-staged replay as [[changesSinceUpsert]], but the
+    * consumer is a real checkpointed streaming query instead of a
+    * hand-carried version cursor. Stream run 1 (Trigger.AvailableNow)
+    * drains the phase-1 window — the net change from table creation, i.e.
+    * phase-1 converged state with net deletes as tombstone rows; phase 2
+    * then commits over it, and run 2 RESUMES FROM THE CHECKPOINT, so Spark
+    * itself proves the offset contract by delivering only the (vA, head]
+    * window. Output rows are tagged with the run that delivered them; the
+    * DuckDB oracle recomputes both windows' per-key LWW from events alone
+    * (run 1: winners at lsn ≤ cutoff; run 2: winners among lsn > cutoff)
+    * and must match exactly — double-delivery, missed keys, or a
+    * non-resumed second run would all break the tag, not just the rows.
+    */
+  def streamConsume(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("streamsrc", sfDir)
+    val out = s"$base/consumed"
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+
+    def drainTagged(run: Int): Unit = {
+      val q = spark.readStream.format("icelite").load(s"$base/table")
+        .writeStream.option("checkpointLocation", s"$base/consumer-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.withColumn("run", lit(run))
+            .write.mode("append").parquet(out)
+        }.start()
+      q.awaitTermination()
+    }
+
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    drainTagged(1)
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    drainTagged(2)              // resumes the consumer checkpoint: (vA, head] only
+
+    spark.read.parquet(out)
+      .select(col("run"), col("conv_id"), col("turn_idx"),
+        when(col(IceLite.DeletedCol), "D").otherwise("U").as("op"),
+        col("role"), col("text"), col("value"), col(IceLite.LsnCol).as("lsn"))
+      .orderBy("run", "conv_id", "turn_idx")
+  }
+
   /** Cross-batch incremental dedup as a driver query: the planted-dup
     * corpus staged in THREE doc_id-ordered batches (first half of the base
     * docs, second half, then the planted near-copies) through
