@@ -35,6 +35,11 @@ object SparkEntry {
     // snapshot-version offsets owned by the consumer's checkpoint): run 1
     // drains phase 1, run 2 resumes the checkpoint and gets ONLY phase 2.
     "cdc_stream_consume" -> ((s, d) => CdcQueries.streamConsume(s, d)),
+    // CDC fan-out: a filtered materialized view maintained as a SECOND
+    // icelite table by a checkpointed stream over the base table, each
+    // micro-batch MERGEd exactly-once (materialized-view D/U rule for a
+    // non-LWW-commuting payload predicate).
+    "cdc_derived_view" -> ((s, d) => CdcQueries.derivedView(s, d)),
     // Two independent writers racing commits on one table (occRetry OCC +
     // attempt-unique data dirs + orphan vacuum); oracle is the plain LWW.
     "cdc_concurrent_writers" -> ((s, d) => CdcQueries.concurrentWriters(s, d)),
@@ -1135,6 +1140,24 @@ object SparkEntry {
     // Net change set since the phase-1 snapshot (events with lsn ≤ half):
     // for every key phase 2 touched, its final LWW winner; net deletes keep
     // op='D' with null payload (tombstones carry no payload in the table).
+    // Derived view: the from-scratch recompute — per-key LWW over ALL
+    // events, keep live winners passing the predicate (role ≠ 'view').
+    "cdc_derived_view" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type AS role,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+        |         "value"
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed)
+        |SELECT conv_id, turn_idx, role, text, "value"
+        |FROM ranked WHERE rn = 1 AND op <> 'D' AND role <> 'view'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     // Streaming consumption: run 1 = per-key LWW at lsn ≤ cutoff (net
     // deletes included as op='D' null-payload rows), run 2 = per-key LWW
     // among lsn > cutoff only — the checkpoint-resumed second window.

@@ -566,6 +566,64 @@ object CdcQueries {
       .orderBy("run", "conv_id", "turn_idx")
   }
 
+  /** Incrementally-maintained DERIVED TABLE (a filtered materialized view)
+    * as a driver query — the CDC fan-out composition: base table →
+    * `format("icelite")` stream → per-micro-batch MERGE into a SECOND
+    * icelite table, exactly-once end-to-end (source offsets in the
+    * consumer checkpoint × idempotent sink epochs in the derived table's
+    * snapshot). The view is σ(role ≠ 'view'): a payload predicate does NOT
+    * commute with per-key LWW — a key's winner can flip in or out of the
+    * view as updates land — so maintenance uses the materialized-view
+    * rule: each net-change row becomes D when deleted-or-predicate-fails
+    * (deleting an absent key is a no-op tombstone), U otherwise. Because
+    * the source delivers the FINAL winner per key in each window, this is
+    * exact: after both runs the derived table equals the view recomputed
+    * from scratch, which is what the DuckDB oracle does (per-key LWW over
+    * ALL events, then the filter) — it never heard of streams, windows,
+    * or the two-phase staging.
+    */
+  def derivedView(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = freshDir("derivedview", sfDir)
+    val derived = s"$base/derived"
+    IceLite.create(derived, numBuckets = 8)
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(4))
+
+    def maintain(): Unit = {
+      val q = spark.readStream.format("icelite").load(s"$base/table")
+        .writeStream.option("checkpointLocation", s"$base/view-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val changes = df.select(
+            when(col(IceLite.DeletedCol) || col("role") === "view", "D")
+              .otherwise("U").as("op"),
+            col(IceLite.LsnCol).as("lsn"), col("conv_id"), col("turn_idx"),
+            col("role"), col("text"), col("value"))
+          MergeApply.applyChanges(spark, derived, changes, batchId = id)
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
+    Pipeline.replay(spark, cfg)
+    maintain()
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    maintain()                  // view catches up from ONLY the new window
+
+    IceLite.read(spark, derived)
+      .select("conv_id", "turn_idx", "role", "text", "value")
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** Cross-batch incremental dedup as a driver query: the planted-dup
     * corpus staged in THREE doc_id-ordered batches (first half of the base
     * docs, second half, then the planted near-copies) through
