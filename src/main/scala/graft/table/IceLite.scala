@@ -749,4 +749,51 @@ object IceLite {
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  // ------------------------------------------------------ metadata tables
+
+  /** Iceberg-style `snapshots` metadata table: one row per retained
+    * snapshot manifest, oldest first, with head/published flags. Driver
+    * builds it from the O(versions) tiny meta JSONs — the same cost class
+    * as any snapshot load; never touches data files. Note [[vacuum]]
+    * reclaims DATA of expired versions but keeps the manifests, so an
+    * expired snapshot still lists here (its `manifest_rows` describe files
+    * that may be gone — the usual table-format "metadata outlives expired
+    * data" shape).
+    */
+  def metaSnapshots(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val head = load(path).version
+    val pub = publishedVersion(path)
+    val names = scala.util.Using.resource(Files.list(Paths.get(path, "meta"))) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d{5}\\.json")).toSeq.sorted
+    }
+    names.map(n => loadVersion(path, n)).map { sn =>
+      (sn.version, sn.schemaV, sn.numBuckets, sn.buckets.size, sn.deltas.size,
+        (sn.buckets ++ sn.deltas).map(_.rows).sum, sn.batchWatermark,
+        sn.committedBatches.size,
+        if (sn.maxLsn == Long.MinValue) None else Some(sn.maxLsn),
+        sn.version == head, sn.version == pub)
+    }.toDF("version", "schema_v", "num_buckets", "base_entries",
+      "delta_entries", "manifest_rows", "batch_watermark", "pending_batches",
+      "max_lsn", "is_head", "is_published")
+  }
+
+  /** `files` metadata table for one snapshot (default: the head): every
+    * manifest entry with its kind, bucket, row count and zone maps — what
+    * a reader's pruning sees, as a queryable frame.
+    */
+  def metaFiles(spark: SparkSession, path: String,
+                version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val sn = version.map(v => loadVersion(path, f"v$v%05d.json")).getOrElse(load(path))
+    (sn.buckets.map(("base", _)) ++ sn.deltas.map(("delta", _))).map {
+      case (kind, e) =>
+        (sn.version, kind, e.bucket, e.dir, e.rows, e.schemaV, e.minKey, e.maxKey,
+          if (e.minLsn == Long.MinValue) None else Some(e.minLsn),
+          if (e.maxLsn == Long.MaxValue) None else Some(e.maxLsn))
+    }.toDF("version", "kind", "bucket", "dir", "rows", "schema_v",
+      "min_key", "max_key", "min_lsn", "max_lsn")
+  }
 }
