@@ -624,6 +624,55 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Conversation-level near-dup detection over the CONVERGED table — the
+    * transcripts × dedup composition: the full feed replays into the table,
+    * each conversation is assembled from its live turns in `turn_idx`
+    * order, every 5th conversation is cloned minus its LAST turn (the
+    * planted near-dup: a transcript re-ingested before its final turn —
+    * the common crawl/mirror shape), and the minhash-LSH pipeline
+    * ([[TextOps.candidateJaccardOf]]) finds the pairs, exact-verified at
+    * Jaccard ≥ 0.5. Distinct conversations share no turn text (texts embed
+    * the event id), so the DuckDB oracle — which re-derives conversations
+    * from events via the LWW winners, plants the same clones, and computes
+    * EXACT 3-shingle Jaccard over all pairs — certifies both zero LSH
+    * recall loss and zero false pairs at transcript granularity. Short
+    * conversations whose clone falls under the shingle floor drop out of
+    * BOTH sides by the same exact measure.
+    */
+  def transcriptDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = freshDir("tdedup", sfDir)
+    val ev = eventsAsFeed(spark, sfDir)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(8))
+    FeedGen.writeFeed(lines, s"$base/feed/p1", files = 8)
+    Pipeline.replay(spark, cfg)
+
+    val live = IceLite.read(spark, s"$base/table")
+      .select("conv_id", "turn_idx", "text")
+    def assemble(df: DataFrame) = df.groupBy("conv_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x.getField("text"))).as("text"))
+    val whole = assemble(live)
+    val clones = assemble(live
+        .withColumn("_maxt", max("turn_idx").over(Window.partitionBy("conv_id")))
+        .filter(expr("CAST(substr(conv_id, 6) AS INT) % 5 = 0") &&
+          col("turn_idx") < col("_maxt"))
+        .drop("_maxt"))
+      .select(concat(col("conv_id"), lit("~dup")).as("conv_id"), col("text"))
+    val corpus = whole.unionByName(clones)
+      .select(col("conv_id").as("doc_id"), col("text"))
+    TextOps.candidateJaccardOf(spark, corpus)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-batch incremental dedup as a driver query: the planted-dup
     * corpus staged in THREE doc_id-ordered batches (first half of the base
     * docs, second half, then the planted near-copies) through
