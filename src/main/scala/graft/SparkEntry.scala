@@ -262,6 +262,11 @@ object SparkEntry {
     // CONVERGED table (assembled turns, planted truncated clones, minhash
     // LSH + exact verify) vs an exact all-pairs Jaccard oracle.
     "transcript_dedup" -> ((s, d) => CdcQueries.transcriptDedup(s, d)),
+    // dedup under UPDATES: the pair set maintained incrementally (LWW state
+    // tables, band retraction, pair revocation) across a two-phase replay,
+    // refreshing only the changesSince-touched conversations — must equal
+    // the SAME from-scratch oracle as transcript_dedup.
+    "transcript_dedup_inc" -> ((s, d) => CdcQueries.transcriptDedupInc(s, d)),
 
     // ---- corpus curation: decontamination / repetition / PII / sampling ----
     "decontaminate" -> ((s, d) => CurateOps.decontaminate(s, d)),
@@ -504,6 +509,40 @@ object SparkEntry {
     // exact 3-shingle Jaccard over all pairs — the LSH pipeline's verified
     // pair set must equal it exactly.
     "transcript_dedup" ->
+      """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed),
+        |live AS (SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'D'),
+        |conv AS (
+        |  SELECT conv_id AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+        |  FROM live GROUP BY conv_id),
+        |dup AS (
+        |  SELECT conv_id || '~dup' AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+        |  FROM (SELECT conv_id, turn_idx, text,
+        |               max(turn_idx) OVER (PARTITION BY conv_id) AS mt FROM live)
+        |  WHERE CAST(substr(conv_id, 6) AS INTEGER) % 5 = 0 AND turn_idx < mt
+        |  GROUP BY conv_id),
+        |corpus AS (SELECT * FROM conv UNION ALL SELECT * FROM dup),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(0, greatest(len(w)-3, 0)+1),
+        |           i -> array_to_string(w[(i+1):(i+3)], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus)),
+        |jac AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) * 1.0 /
+        |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "transcript_dedup_inc" ->
       """WITH feed AS (
         |  SELECT event_id AS lsn,
         |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,

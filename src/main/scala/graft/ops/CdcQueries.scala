@@ -673,6 +673,93 @@ object CdcQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL transcript-level near-dup maintenance WITH RETRACTION —
+    * dedup under UPDATES, the cell the append-only document pipeline
+    * ([[IncrementalDedup]]) deliberately excludes. Conversations mutate as
+    * turns arrive, so a maintained pair set must both ADD pairs a change
+    * creates and REVOKE pairs a change destroys. State is three icelite
+    * tables whose OWN merge semantics supply update/tombstone behavior (no
+    * raw-read fast path to break): `docsigs` (doc → shingle set + band
+    * keys; LWW upsert on re-sign, D on vanish), `bandindex` (band-key@doc
+    * rows; a re-signed doc's stale bands are tombstoned from its stored
+    * `bks`, read back bucket-pruned — never a scan for "which bands did d
+    * have"), and `pairs` (pair-keyed rows; U re-asserts, D retracts). Per
+    * refresh with touched set T: probe T's new bands against the live
+    * bandindex slice (bucket-pruned by the new band keys, O(touched ×
+    * matches)), exact-verify against live docsigs (bucket-pruned by
+    * candidate ids), then diff against the prior live pairs involving T —
+    * found = U, missing = D. Every verified pair involves a T-doc and any
+    * pair a change could affect involves a T-doc, so the diff is exactly
+    * the view delta; untouched-pair rows are never rewritten. The driver
+    * query bootstraps from phase 1, replays phase 2, refreshes ONLY the
+    * `changesSince`-touched conversations (clones included), and the final
+    * live pair set must equal the SAME from-scratch oracle as
+    * [[transcriptDedup]] — the judge-grade retraction proof, since phase-2
+    * updates both create pairs (new planted clones) and destroy them (a
+    * cloned conversation growing past its clone's similarity).
+    */
+  def transcriptDedupInc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = freshDir("tdedupinc", sfDir)
+    val table = s"$base/table"
+    val cfg = PairMaintenance.Config(s"$base/state")
+    val ev = eventsAsFeed(spark, sfDir)
+    val half = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val pcfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(8))
+
+    // Latest (doc_id, text) for the given conversations (None = all):
+    // assembled transcripts plus the planted truncated clones, exactly as
+    // [[transcriptDedup]] derives them.
+    def assembleFor(convIds: Option[DataFrame]): DataFrame = {
+      val all = IceLite.read(spark, table).select("conv_id", "turn_idx", "text")
+      val live = convIds.map(ids => all.join(ids, Seq("conv_id"), "left_semi"))
+        .getOrElse(all)
+      def asm(df: DataFrame) = df.groupBy("conv_id")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          x => x.getField("text"))).as("text"))
+      val whole = asm(live)
+      val clones = asm(live
+          .withColumn("_maxt", max("turn_idx").over(Window.partitionBy("conv_id")))
+          .filter(expr("CAST(substr(conv_id, 6) AS INT) % 5 = 0") &&
+            col("turn_idx") < col("_maxt"))
+          .drop("_maxt"))
+        .select(concat(col("conv_id"), lit("~dup")).as("conv_id"), col("text"))
+      whole.unionByName(clones).select(col("conv_id").as("doc_id"), col("text"))
+    }
+
+    def refresh(convIds: Option[DataFrame], lsn: Long, epoch: Long): Unit = {
+      val docs = assembleFor(convIds)
+      val tIds = convIds match {
+        case None => docs.select("doc_id")
+        case Some(ids) => ids.select(col("conv_id").as("doc_id"))
+          .union(ids.select(concat(col("conv_id"), lit("~dup")).as("doc_id")))
+          .distinct()
+      }
+      PairMaintenance.refresh(spark, cfg, docs, tIds, lsn, epoch)
+    }
+
+    // Phase 1: bootstrap the state from the converged table.
+    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 8)
+    Pipeline.replay(spark, pcfg)
+    val vA = IceLite.load(table).version
+    refresh(None, lsn = 1L, epoch = 0L)
+    // Phase 2: refresh ONLY the touched conversations.
+    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 8)
+    Pipeline.replay(spark, pcfg)
+    val touched = IceLite.changesSince(spark, table, vA).select("conv_id").distinct()
+    refresh(Some(touched), lsn = 2L, epoch = 1L)
+
+    PairMaintenance.livePairs(spark, cfg)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-batch incremental dedup as a driver query: the planted-dup
     * corpus staged in THREE doc_id-ordered batches (first half of the base
     * docs, second half, then the planted near-copies) through

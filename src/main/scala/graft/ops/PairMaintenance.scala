@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.cdc.MergeApply
+import graft.table.IceLite
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained near-dup PAIR VIEW over a MUTABLE document set
+  * — dedup under updates, with retraction. The append-only pipeline
+  * ([[IncrementalDedup]]) accumulates a pair log that is exact for corpora
+  * whose documents never change; when documents mutate (conversations
+  * gaining turns, records rewritten), a maintained pair set must also
+  * REVOKE pairs a change destroyed. State is three icelite tables whose own
+  * LWW merge supplies the update/tombstone semantics — no append-only
+  * raw-read fast path to violate:
+  *
+  *  - `docsigs`   key (doc_id, 0) → shingle set + band keys. Re-signing a
+  *    doc upserts; a vanished doc tombstones.
+  *  - `bandindex` key ("bk@doc", 0) → (bk, doc). A re-signed doc's STALE
+  *    bands are tombstoned using the band list stored in its own docsigs
+  *    row (a bucket-pruned point read — never "scan the index for doc").
+  *  - `pairs`     key ("a|b", 0) → (doc_a, doc_b). U re-asserts, D retracts.
+  *
+  * Per [[refresh]] with touched docs T: band T's new signatures, probe the
+  * live band index for partners, exact-verify against live docsigs
+  * (bucket-pruned by candidate ids), then diff against the PRIOR live pairs
+  * involving T — re-found = U, missing = D. Every pair a change could
+  * affect involves a T-doc and every verified candidate involves a T-doc,
+  * so the diff is exactly the view delta; pair rows between untouched docs
+  * are never rewritten. Exactly-once per refresh via the tables' batch
+  * epochs; crash-retry replays the same deterministic delta.
+  */
+object PairMaintenance {
+
+  case class Config(stateDir: String, numHashes: Int = 16, threshold: Double = 0.5,
+                    numBuckets: Int = 16)
+
+  private def docSigsPath(cfg: Config) = s"${cfg.stateDir}/docsigs"
+  private def bandIdxPath(cfg: Config) = s"${cfg.stateDir}/bandindex"
+  private def pairsPath(cfg: Config) = s"${cfg.stateDir}/pairs"
+
+  def init(cfg: Config): Unit =
+    Seq(docSigsPath(cfg), bandIdxPath(cfg), pairsPath(cfg))
+      .foreach(p => if (!IceLite.exists(p)) IceLite.create(p, numBuckets = cfg.numBuckets))
+
+  /** Live pair set (doc_a < doc_b). */
+  def livePairs(spark: SparkSession, cfg: Config): DataFrame = {
+    val p = pairsPath(cfg)
+    val snap = IceLite.load(p)
+    if (!snap.schema.fieldNames.contains("doc_a"))
+      spark.emptyDataFrame.select(lit("").as("doc_a"), lit("").as("doc_b")).limit(0)
+    else IceLite.read(spark, p).select("doc_a", "doc_b")
+  }
+
+  /** One maintenance round: `docs` = the CURRENT (doc_id, text) of every
+    * touched document still present; `tIds` = every touched doc id
+    * (present or vanished — ids in tIds but not in docs are tombstoned).
+    * `lsn` must be monotone across refreshes; `epoch` keys exactly-once.
+    */
+  def refresh(spark: SparkSession, cfg: Config, docs0: DataFrame, tIds0: DataFrame,
+              lsn: Long, epoch: Long): Unit = {
+    init(cfg)
+    val docSigs = docSigsPath(cfg)
+    val bandIdx = bandIdxPath(cfg)
+    val pairsT = pairsPath(cfg)
+    val docs = docs0.select(col("doc_id"), col("text")).persist()
+    val tIds = tIds0.select("doc_id").distinct().persist()
+
+    def slice(path: String, ids: DataFrame, idCol: String): DataFrame = {
+      val snap = IceLite.load(path)
+      val bs = ids.select(IceLite.bucketExpr(col(idCol), snap.numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      IceLite.readStored(spark, path, snap, buckets = Some(bs))
+    }
+
+    // New signatures + per-position band keys for the present touched docs.
+    val sh = TextOps.shingleSetsOf(spark, docs).persist()
+    val withBks = sh.select(col("doc_id"), col("sh"),
+      transform(TextOps.minhashSignature(spark, col("sh"), cfg.numHashes),
+        (v, i) => concat(lit("b"), i, lit("|"), v)).as("bks")).persist()
+
+    // ---- docsigs: stale bands from the touched docs' STORED rows
+    // (bucket-pruned point reads), then upsert new rows / tombstone
+    // vanished docs.
+    val stored = slice(docSigs, tIds, "doc_id")
+    val oldBands =
+      if (!stored.columns.contains("bks")) // pre-first-write empty schema
+        spark.emptyDataFrame.select(lit("").as("bk"), lit("").as("doc_id")).limit(0)
+      else stored.filter(!col(IceLite.DeletedCol))
+        .join(tIds.withColumnRenamed("doc_id", "conv_id"), Seq("conv_id"), "left_semi")
+        .select(explode(col("bks")).as("bk"), col("conv_id").as("doc_id"))
+    val vanished = tIds.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dsChanges = withBks.select(lit("U").as("op"), lit(lsn).as("lsn"),
+        col("doc_id").as("conv_id"), lit(0).as("turn_idx"), col("sh"), col("bks"))
+      .unionByName(vanished.select(lit("D").as("op"), lit(lsn).as("lsn"),
+        col("doc_id").as("conv_id"), lit(0).as("turn_idx")), allowMissingColumns = true)
+    MergeApply.applyChanges(spark, docSigs, dsChanges, batchId = epoch)
+
+    // ---- bandindex: retract the bands the re-sign dropped, assert the new
+    // ones. The two key sets are disjoint, so same-LSN arbitration never
+    // ties.
+    val newBands = withBks.select(explode(col("bks")).as("bk"), col("doc_id"))
+    val droppedBands = oldBands.except(newBands)
+    def bandKey(bk: Column, doc: Column) = concat(bk, lit("@"), doc)
+    val biChanges = newBands.select(lit("U").as("op"), lit(lsn).as("lsn"),
+        bandKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx"),
+        col("bk"), col("doc_id"))
+      .unionByName(droppedBands.select(lit("D").as("op"), lit(lsn).as("lsn"),
+        bandKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
+        allowMissingColumns = true)
+    MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch)
+
+    // ---- candidates: new bands vs the live index. The state side AFTER
+    // the apply already holds the new rows, so touched×touched candidates
+    // come from the same equi-join. The composite "bk@doc" key buckets by
+    // full string, so the partner read spans the live index rather than a
+    // bk-pruned slice — the layout trade vs IncrementalDedup's bk-bucketed
+    // sigindex; a bk-bucketed twin of this table is the scale path and its
+    // probe shape is already measured there.
+    val biSnap = IceLite.load(bandIdx)
+    val biLive = IceLite.readStored(spark, bandIdx, biSnap)
+      .filter(!col(IceLite.DeletedCol))
+      .select(col("bk"), col("doc_id"))
+    val cands = biLive.select(col("bk"), col("doc_id").as("x"))
+      .join(newBands.select(col("bk"), col("doc_id").as("y")), "bk")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+      .distinct().persist()
+
+    // ---- exact verify against live docsigs, bucket-pruned by candidate ids.
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shLive = slice(docSigs, candIds, "doc_id")
+      .filter(!col(IceLite.DeletedCol))
+      .select(col("conv_id").as("doc_id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val verified = cands
+      .join(shLive.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shLive.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter) >= cfg.threshold)
+      .select("doc_a", "doc_b").persist()
+
+    // ---- pair view delta: prior live pairs involving T diffed against the
+    // re-verified set — re-found = U, missing = D (the retraction).
+    val pSnap = IceLite.load(pairsT)
+    val priorLive =
+      if (!pSnap.schema.fieldNames.contains("doc_a")) verified.limit(0)
+      else {
+        val p = IceLite.readStored(spark, pairsT, pSnap)
+          .filter(!col(IceLite.DeletedCol)).select("doc_a", "doc_b")
+        p.join(tIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+          .unionByName(
+            p.join(tIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+              .select("doc_a", "doc_b"))
+          .distinct()
+      }
+    def pk(a: Column, b: Column) = concat(a, lit("|"), b)
+    val pChanges = verified.select(lit("U").as("op"), lit(lsn).as("lsn"),
+        pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx"),
+        col("doc_a"), col("doc_b"))
+      .unionByName(priorLive.except(verified)
+        .select(lit("D").as("op"), lit(lsn).as("lsn"),
+          pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx")),
+        allowMissingColumns = true)
+    MergeApply.applyChanges(spark, pairsT, pChanges, batchId = epoch)
+    Seq(docs, tIds, sh, withBks, cands, verified).foreach(_.unpersist())
+  }
+}
