@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.PairMaintenance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures [[PairMaintenance]] refresh cost as stored state grows with the
+  * TOUCHED SET HELD CONSTANT — the steady-state question for dedup under
+  * updates: what does a 1k-doc refresh cost against a 10k / 40k / 160k-doc
+  * state? The operator's scaladoc records one deliberate trade (the
+  * composite band@doc key buckets by full string, so the candidate probe
+  * reads the live band index rather than a bk-pruned slice); this bench
+  * makes the resulting state-proportional term VISIBLE rather than argued,
+  * alongside the terms that stay flat. Run: `sbt "runMain graft.BenchPairMaint
+  * [sizes...]"`.
+  */
+object BenchPairMaint {
+
+  /** Deterministic ~24-word doc; every 20th doc is a near-dup of its
+    * neighbor (same text minus the last word) so verified pairs exist at a
+    * controlled ~5% rate.
+    */
+  private def corpus(spark: SparkSession, from: Long, n: Long): DataFrame = {
+    val words = 24
+    spark.range(from, from + n).toDF("i").select(
+      concat(lit("d"), lpad(col("i").cast("string"), 8, "0")).as("doc_id"),
+      when(col("i") % 20 =!= 0 || col("i") === from,
+        concat_ws(" ", (0 until words).map(w =>
+          concat(lit("w"), pmod(xxhash64(col("i"), lit(w)), lit(50000L)))): _*))
+        .otherwise( // near-dup of doc i-1: same words, last one dropped
+          concat_ws(" ", (0 until words - 1).map(w =>
+            concat(lit("w"), pmod(xxhash64(col("i") - 1, lit(w)), lit(50000L)))): _*))
+        .as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(10000L, 40000L, 160000L)
+    val touched = 1000L
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("bench-pairmaint")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      sizes.foreach { s =>
+        val cfg = PairMaintenance.Config(
+          s"/root/repo/target/bench-pairmaint/state-$s", numBuckets = 32)
+        val t0 = System.nanoTime()
+        // Bootstrap: the whole corpus is the touched set once.
+        val boot = corpus(spark, 0, s)
+        PairMaintenance.refresh(spark, cfg, boot, boot.select("doc_id"),
+          lsn = 1, epoch = 0)
+        val tBoot = (System.nanoTime() - t0) / 1e9
+        // Steady state: three 1k refreshes — half UPDATES of existing ids
+        // (re-sign + band retraction), half new arrivals.
+        val laps = (1 to 3).map { r =>
+          val upd = corpus(spark, (r - 1) * touched * 7 % s, touched / 2)
+          val fresh = corpus(spark, s + r * touched, touched / 2)
+          val docs = upd.unionByName(fresh)
+          val t1 = System.nanoTime()
+          PairMaintenance.refresh(spark, cfg, docs, docs.select("doc_id"),
+            lsn = r + 1L, epoch = r.toLong)
+          (System.nanoTime() - t1) / 1e9
+        }
+        val pairs = PairMaintenance.livePairs(spark, cfg).count()
+        println(f"[pairmaint] state=$s%7d boot=$tBoot%7.1fs " +
+          f"refresh1k=${laps.map(l => f"$l%.1f").mkString("/")}s " +
+          f"median=${laps.sorted.apply(1)}%5.1fs livePairs=$pairs")
+      }
+    } finally spark.stop()
+  }
+}
