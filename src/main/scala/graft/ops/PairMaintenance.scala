@@ -28,7 +28,21 @@ import org.apache.spark.sql.functions._
   * affect involves a T-doc and every verified candidate involves a T-doc,
   * so the diff is exactly the view delta; pair rows between untouched docs
   * are never rewritten. Exactly-once per refresh via the tables' batch
-  * epochs; crash-retry replays the same deterministic delta.
+  * epochs.
+  *
+  * Crash-retry convergence: the three commits run SEQUENTIALLY under one
+  * epoch, and a retry after a partial commit converges to the same pair
+  * view as an uninterrupted run — but NOT by replaying byte-identical
+  * deltas. If the crash lands after the docsigs commit, the retry reads
+  * the already-updated stored rows, so `droppedBands` comes out empty and
+  * the re-signed docs' STALE band rows stay live in the index. That
+  * residue cannot corrupt the view: every candidate a stale band raises is
+  * exact-verified against LIVE docsigs (a ghost partner has no live
+  * signature and drops at the verify join; a surviving pair is correct by
+  * definition), and the prior-pairs diff still emits every retraction. The
+  * leak is pure probe-cost — dead index rows accumulate per crash — and is
+  * reclaimed by [[rebuildIndex]], the amortized GC verb
+  * (PairMaintenanceSpec drives the interleaving end-to-end).
   */
 object PairMaintenance {
 
@@ -50,6 +64,43 @@ object PairMaintenance {
     if (!snap.schema.fieldNames.contains("doc_a"))
       spark.emptyDataFrame.select(lit("").as("doc_a"), lit("").as("doc_b")).limit(0)
     else IceLite.read(spark, p).select("doc_a", "doc_b")
+  }
+
+  private def bandRowKey(bk: Column, doc: Column): Column = concat(bk, lit("@"), doc)
+
+  /** Index GC / recovery: re-derive the band index from LIVE docsigs and
+    * reconcile — tombstone orphan rows (bands no live signature carries:
+    * the residue of crash-retried refreshes, see the class doc) and assert
+    * any missing ones. One O(live state) pass of two set-diffs, run
+    * amortized like compaction, never per-refresh. Exactly-once via
+    * `epoch`; the pair view is untouched (orphans were already harmless to
+    * it — this reclaims probe cost only).
+    */
+  def rebuildIndex(spark: SparkSession, cfg: Config, lsn: Long, epoch: Long): Unit = {
+    init(cfg)
+    val docSigs = docSigsPath(cfg)
+    val bandIdx = bandIdxPath(cfg)
+    val dsSnap = IceLite.load(docSigs)
+    if (!dsSnap.schema.fieldNames.contains("bks")) return // nothing ever signed
+    val truth = IceLite.readStored(spark, docSigs, dsSnap)
+      .filter(!col(IceLite.DeletedCol))
+      .select(col("conv_id").as("doc_id"), explode(col("bks")).as("bk"))
+      .select("bk", "doc_id")
+    val biSnap = IceLite.load(bandIdx)
+    val stored =
+      if (!biSnap.schema.fieldNames.contains("bk"))
+        truth.limit(0)
+      else IceLite.readStored(spark, bandIdx, biSnap)
+        .filter(!col(IceLite.DeletedCol)).select("bk", "doc_id")
+    val orphans = stored.except(truth)
+    val missing = truth.except(stored)
+    val changes = missing.select(lit("U").as("op"), lit(lsn).as("lsn"),
+        bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx"),
+        col("bk"), col("doc_id"))
+      .unionByName(orphans.select(lit("D").as("op"), lit(lsn).as("lsn"),
+        bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
+        allowMissingColumns = true)
+    MergeApply.applyChanges(spark, bandIdx, changes, batchId = epoch)
   }
 
   /** One maintenance round: `docs` = the CURRENT (doc_id, text) of every
@@ -101,12 +152,11 @@ object PairMaintenance {
     // ties.
     val newBands = withBks.select(explode(col("bks")).as("bk"), col("doc_id"))
     val droppedBands = oldBands.except(newBands)
-    def bandKey(bk: Column, doc: Column) = concat(bk, lit("@"), doc)
     val biChanges = newBands.select(lit("U").as("op"), lit(lsn).as("lsn"),
-        bandKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx"),
+        bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx"),
         col("bk"), col("doc_id"))
       .unionByName(droppedBands.select(lit("D").as("op"), lit(lsn).as("lsn"),
-        bandKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
+        bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
         allowMissingColumns = true)
     MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch)
 
