@@ -318,6 +318,48 @@ object SparkEntry {
   /** Planted-duplicate corpus + distinct 3-shingle sets, DuckDB form —
     * mirrors TextOps.withPlantedDups / TextOps.shingles exactly.
     */
+  // ONE from-scratch oracle for BOTH transcript-dedup verbs: the
+  // incremental form's contract is "same answer as the batch form", so
+  // duplicating the SQL would let the two silently desynchronize.
+  // Conversations re-derived from events (LWW winners, turn-ordered
+  // concat), every 5th cloned minus its last turn, exact 3-shingle
+  // Jaccard over all pairs — the LSH pipeline's verified pair set must
+  // equal it exactly.
+  private val transcriptDedupOracleSql: String =
+    """WITH feed AS (
+        |  SELECT event_id AS lsn,
+        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        |  FROM feed),
+        |live AS (SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'D'),
+        |conv AS (
+        |  SELECT conv_id AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+        |  FROM live GROUP BY conv_id),
+        |dup AS (
+        |  SELECT conv_id || '~dup' AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+        |  FROM (SELECT conv_id, turn_idx, text,
+        |               max(turn_idx) OVER (PARTITION BY conv_id) AS mt FROM live)
+        |  WHERE CAST(substr(conv_id, 6) AS INTEGER) % 5 = 0 AND turn_idx < mt
+        |  GROUP BY conv_id),
+        |corpus AS (SELECT * FROM conv UNION ALL SELECT * FROM dup),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(0, greatest(len(w)-3, 0)+1),
+        |           i -> array_to_string(w[(i+1):(i+3)], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus)),
+        |jac AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) * 1.0 /
+        |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+
   private val corpusShingleSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -508,74 +550,8 @@ object SparkEntry {
     // winners, turn-ordered concat), every 5th cloned minus its last turn,
     // exact 3-shingle Jaccard over all pairs — the LSH pipeline's verified
     // pair set must equal it exactly.
-    "transcript_dedup" ->
-      """WITH feed AS (
-        |  SELECT event_id AS lsn,
-        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
-        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
-        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text
-        |  FROM events),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
-        |  FROM feed),
-        |live AS (SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'D'),
-        |conv AS (
-        |  SELECT conv_id AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
-        |  FROM live GROUP BY conv_id),
-        |dup AS (
-        |  SELECT conv_id || '~dup' AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
-        |  FROM (SELECT conv_id, turn_idx, text,
-        |               max(turn_idx) OVER (PARTITION BY conv_id) AS mt FROM live)
-        |  WHERE CAST(substr(conv_id, 6) AS INTEGER) % 5 = 0 AND turn_idx < mt
-        |  GROUP BY conv_id),
-        |corpus AS (SELECT * FROM conv UNION ALL SELECT * FROM dup),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |           range(0, greatest(len(w)-3, 0)+1),
-        |           i -> array_to_string(w[(i+1):(i+3)], ' '))) AS s
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus)),
-        |jac AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) * 1.0 /
-        |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    "transcript_dedup_inc" ->
-      """WITH feed AS (
-        |  SELECT event_id AS lsn,
-        |         'conv-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS conv_id,
-        |         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS turn_idx,
-        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-        |         event_type || '#' || CAST(event_id AS VARCHAR) AS text
-        |  FROM events),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
-        |  FROM feed),
-        |live AS (SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'D'),
-        |conv AS (
-        |  SELECT conv_id AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
-        |  FROM live GROUP BY conv_id),
-        |dup AS (
-        |  SELECT conv_id || '~dup' AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
-        |  FROM (SELECT conv_id, turn_idx, text,
-        |               max(turn_idx) OVER (PARTITION BY conv_id) AS mt FROM live)
-        |  WHERE CAST(substr(conv_id, 6) AS INTEGER) % 5 = 0 AND turn_idx < mt
-        |  GROUP BY conv_id),
-        |corpus AS (SELECT * FROM conv UNION ALL SELECT * FROM dup),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |           range(0, greatest(len(w)-3, 0)+1),
-        |           i -> array_to_string(w[(i+1):(i+3)], ' '))) AS s
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus)),
-        |jac AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) * 1.0 /
-        |         len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "transcript_dedup" -> transcriptDedupOracleSql,
+    "transcript_dedup_inc" -> transcriptDedupOracleSql,
     "dedup_minhash_lsh" ->
       s"""WITH $corpusShingleSql
          |SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5

@@ -102,7 +102,15 @@ object MergeApply {
     // The table's own schema decides, like the read paths: a writer aimed
     // at an existing patch table runs the patch semantics even if the
     // caller forgot the flag — a whole-row write into a patch table would
-    // silently corrupt its stored schema otherwise.
+    // silently corrupt its stored schema otherwise. The converse is just as
+    // corrupting and must fail loudly, not silently mix merge semantics: a
+    // patch-flagged writer aimed at an existing whole-row table would write
+    // setter-LSN columns its stored schema never lists while reads keep
+    // LWW-folding (partial rows then win whole-row and null the columns
+    // they left alone).
+    require(!patch || snap.schema.isEmpty || IceLite.isPatchSchema(snap.schema),
+      s"$tablePath is a whole-row LWW table — a partial-update (patch) write would mix " +
+        "merge semantics; drop the patch flag or replay into a fresh table")
     val isPatch = patch || IceLite.isPatchSchema(snap.schema)
     val validOps = if (isPatch) Seq("I", "U", "R", "D") else Seq("I", "U", "D")
 
@@ -232,7 +240,7 @@ object MergeApply {
       reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
         scan.buckets, events, malformed, minLsn, maxLsn, schemaDiff.toString,
         batchId, policy, lineageDir, t0, tScan, tDead,
-        if (isPatch) PatchApply.patchFold(payloadNames) else IceLite.lwwReduce)
+        if (isPatch) PatchApply.patchFold(_) else IceLite.lwwReduce)
     } finally {
       payloadCache.foreach(_.unpersist())
       parsed.unpersist()
@@ -275,7 +283,10 @@ object MergeApply {
       val headBefore = IceLite.load(tablePath).version
       try return body
       catch {
-        case e: Throwable if attempt < maxAttempts &&
+        // NonFatal only: an OOM / interrupt / linkage error during an
+        // attempt must propagate, not silently re-drive the apply in a
+        // degraded JVM just because the head happened to move concurrently.
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts &&
             (e.isInstanceOf[java.util.ConcurrentModificationException] ||
               IceLite.load(tablePath).version != headBefore) =>
           attempt += 1
@@ -288,10 +299,10 @@ object MergeApply {
                    lineageDir: Option[String] = None,
                    policy: CompactionPolicy = CompactionPolicy()): ApplyResult = {
     val t0 = System.nanoTime()
-    require(!IceLite.isPatchSchema(IceLite.load(tablePath).schema),
+    val snap = IceLite.load(tablePath)
+    require(!IceLite.isPatchSchema(snap.schema),
       s"$tablePath is a partial-update (patch) table — use PatchApply.applyPatches; " +
         "a whole-row LWW write would corrupt its stored schema")
-    val snap = IceLite.load(tablePath)
     if (snap.hasBatch(batchId)) {
       return ApplyResult(batchId, committed = false, snap.version, 0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)
     }

@@ -99,11 +99,10 @@ object PatchApply {
     * `_setlsn`, `_dlsn`) — raw per-event rows and folded generation rows are
     * the same shape, so one reducer serves batch reduce, compaction merge
     * and merge-on-read. The implementation lives in [[IceLite.patchReduce]]
-    * (payload derived from the frame's own schema — which for every caller
-    * equals `payload`) so the generic table reads auto-select it without a
-    * table→cdc dependency.
+    * (the payload column set is derived from the frame's own schema) so the
+    * generic table reads auto-select it without a table→cdc dependency.
     */
-  def patchFold(payload: Seq[String])(df: DataFrame): DataFrame =
+  def patchFold(df: DataFrame): DataFrame =
     IceLite.patchReduce(df)
 
   /** Apply one typed micro-batch of partial changes. Contract matches
@@ -182,7 +181,7 @@ object PatchApply {
 
       MergeApply.reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
         estRows, events, 0L, minLsn, maxLsn, schemaDiff.toString,
-        batchId, policy, lineageDir, t0, tScan, 0L, patchFold(payloadNames))
+        batchId, policy, lineageDir, t0, tScan, 0L, patchFold)
     } finally withBucket.unpersist()
   }
 

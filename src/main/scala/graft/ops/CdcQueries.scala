@@ -200,19 +200,9 @@ object CdcQueries {
   def changesSinceUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("changes", sfDir)
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    val vA = IceLite.load(s"$base/table").version
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
+    val (_, vA) = stageTwoPhase(spark, base, lines, half)
     IceLite.changesSince(spark, s"$base/table", vA)
       .select(col("conv_id"), col("turn_idx"),
         when(col(IceLite.DeletedCol), "D").otherwise("U").as("op"),
@@ -231,19 +221,9 @@ object CdcQueries {
   def timeTravelRead(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("timetravel", sfDir)
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    val vA = IceLite.load(s"$base/table").version
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
+    val (_, vA) = stageTwoPhase(spark, base, lines, half)
     IceLite.readAt(spark, s"$base/table", vA)
       .select("conv_id", "turn_idx", "role", "text", "value")
       .orderBy("conv_id", "turn_idx")
@@ -260,19 +240,9 @@ object CdcQueries {
   def rollbackReplay(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("rollback", sfDir)
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    val vA = IceLite.load(s"$base/table").version
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg)
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
+    val (cfg, vA) = stageTwoPhase(spark, base, lines, half)
     IceLite.rollback(s"$base/table", vA) // undo phase 2
     Pipeline.replay(spark, cfg.copy(checkpointDir = s"$base/ckpt2")) // recover
     IceLite.read(spark, s"$base/table")
@@ -295,19 +265,10 @@ object CdcQueries {
     val base = freshDir("wap", sfDir)
     val table = s"$base/table"
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    IceLite.beginStage(table)
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // staged: head advances, published ref pinned
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
+    stageTwoPhase(spark, base, lines, half,
+      between = _ => IceLite.beginStage(table)) // p2 staged: head advances, published ref pinned
 
     def tagged(df: DataFrame, tag: String) = df.select(
       lit(tag).as("phase"), col("conv_id"), col("turn_idx"), col("role"),
@@ -339,22 +300,13 @@ object CdcQueries {
     val base = freshDir("wapabort", sfDir)
     val table = s"$base/table"
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val half = halfLsn(spark, sfDir)
     val poisoned = ev.withColumn("text",
       when(col("op") === "U" && col("lsn") > half && col("lsn") % 7 === 0,
         lit(null).cast("string")).otherwise(col("text")))
-    val lines = poisoned.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    IceLite.beginStage(table)
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg)
+    val lines = jsonLines(poisoned)
+    stageTwoPhase(spark, base, lines, half,
+      between = _ => IceLite.beginStage(table)) // p2 staged
     val audit = Audit.stagedViolations(spark, table,
       Seq("text_not_null" -> "text IS NOT NULL"))
       .select(lit("audit").as("phase"), col("constraint").as("conv_id"),
@@ -387,15 +339,8 @@ object CdcQueries {
   def sessionizeChanges(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("sesschg", sfDir)
     val lines = FeedGen.fromEventsWithId(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines.filter(col("event_id") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    val vA = IceLite.load(s"$base/table").version
-    FeedGen.writeFeed(lines.filter(col("event_id") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    val half = halfLsn(spark, sfDir)
+    val (_, vA) = stageTwoPhase(spark, base, lines, half, filterCol = "event_id")
     val touched = IceLite.changesSince(spark, s"$base/table", vA)
       .select("conv_id").distinct()
     val live = IceLite.read(spark, s"$base/table")
@@ -436,10 +381,7 @@ object CdcQueries {
       col("event_type").as("role"),
       concat(col("event_type"), lit("#"), col("event_id").cast("string")).as("text"),
       col("value"))
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val lines = jsonLines(ev)
     FeedGen.writeFeed(lines, s"$base/feed", files = 8)
     Pipeline.replay(spark, Pipeline.Config(
       s"$base/feed", s"$base/table", s"$base/ckpt", numBuckets = 16))
@@ -532,15 +474,8 @@ object CdcQueries {
     val base = freshDir("streamsrc", sfDir)
     val out = s"$base/consumed"
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
     def drainTagged(run: Int): Unit = {
       val q = spark.readStream.format("icelite").load(s"$base/table")
         .writeStream.option("checkpointLocation", s"$base/consumer-ckpt")
@@ -552,11 +487,7 @@ object CdcQueries {
       q.awaitTermination()
     }
 
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    drainTagged(1)
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    stageTwoPhase(spark, base, lines, half, between = _ => drainTagged(1))
     drainTagged(2)              // resumes the consumer checkpoint: (vA, head] only
 
     spark.read.parquet(out)
@@ -587,15 +518,8 @@ object CdcQueries {
     val derived = s"$base/derived"
     IceLite.create(derived, numBuckets = 8)
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
     def maintain(): Unit = {
       val q = spark.readStream.format("icelite").load(s"$base/table")
         .writeStream.option("checkpointLocation", s"$base/view-ckpt")
@@ -612,11 +536,7 @@ object CdcQueries {
       q.awaitTermination()
     }
 
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    maintain()
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    stageTwoPhase(spark, base, lines, half, between = _ => maintain())
     maintain()                  // view catches up from ONLY the new window
 
     IceLite.read(spark, derived)
@@ -639,14 +559,34 @@ object CdcQueries {
     * conversations whose clone falls under the shingle floor drop out of
     * BOTH sides by the same exact measure.
     */
-  def transcriptDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Assembled transcript corpus from live turns: each conversation's text
+    * concatenated in `turn_idx` order, plus a truncated clone of every 5th
+    * conversation (its LAST turn dropped — the re-ingested-before-final-turn
+    * near-dup shape). ONE derivation shared by the batch and incremental
+    * transcript-dedup verbs — their correctness contract is "same corpus,
+    * same answer", so two hand-maintained copies could silently drift from
+    * each other and from the common DuckDB oracle that mirrors this rule.
+    */
+  private def transcriptCorpus(live: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def asm(df: DataFrame) = df.groupBy("conv_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x.getField("text"))).as("text"))
+    val whole = asm(live)
+    val clones = asm(live
+        .withColumn("_maxt", max("turn_idx").over(Window.partitionBy("conv_id")))
+        .filter(expr("CAST(substr(conv_id, 6) AS INT) % 5 = 0") &&
+          col("turn_idx") < col("_maxt"))
+        .drop("_maxt"))
+      .select(concat(col("conv_id"), lit("~dup")).as("conv_id"), col("text"))
+    whole.unionByName(clones).select(col("conv_id").as("doc_id"), col("text"))
+  }
+
+  def transcriptDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("tdedup", sfDir)
     val ev = eventsAsFeed(spark, sfDir)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    val lines = jsonLines(ev)
     val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
       numBuckets = 16, maxFilesPerTrigger = Some(8))
     FeedGen.writeFeed(lines, s"$base/feed/p1", files = 8)
@@ -654,19 +594,7 @@ object CdcQueries {
 
     val live = IceLite.read(spark, s"$base/table")
       .select("conv_id", "turn_idx", "text")
-    def assemble(df: DataFrame) = df.groupBy("conv_id")
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
-        x => x.getField("text"))).as("text"))
-    val whole = assemble(live)
-    val clones = assemble(live
-        .withColumn("_maxt", max("turn_idx").over(Window.partitionBy("conv_id")))
-        .filter(expr("CAST(substr(conv_id, 6) AS INT) % 5 = 0") &&
-          col("turn_idx") < col("_maxt"))
-        .drop("_maxt"))
-      .select(concat(col("conv_id"), lit("~dup")).as("conv_id"), col("text"))
-    val corpus = whole.unionByName(clones)
-      .select(col("conv_id").as("doc_id"), col("text"))
+    val corpus = transcriptCorpus(live)
     TextOps.candidateJaccardOf(spark, corpus)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b")
@@ -699,19 +627,12 @@ object CdcQueries {
     * cloned conversation growing past its clone's similarity).
     */
   def transcriptDedupInc(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = freshDir("tdedupinc", sfDir)
     val table = s"$base/table"
     val cfg = PairMaintenance.Config(s"$base/state")
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val pcfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(8))
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
 
     // Latest (doc_id, text) for the given conversations (None = all):
     // assembled transcripts plus the planted truncated clones, exactly as
@@ -720,18 +641,7 @@ object CdcQueries {
       val all = IceLite.read(spark, table).select("conv_id", "turn_idx", "text")
       val live = convIds.map(ids => all.join(ids, Seq("conv_id"), "left_semi"))
         .getOrElse(all)
-      def asm(df: DataFrame) = df.groupBy("conv_id")
-        .agg(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
-          x => x.getField("text"))).as("text"))
-      val whole = asm(live)
-      val clones = asm(live
-          .withColumn("_maxt", max("turn_idx").over(Window.partitionBy("conv_id")))
-          .filter(expr("CAST(substr(conv_id, 6) AS INT) % 5 = 0") &&
-            col("turn_idx") < col("_maxt"))
-          .drop("_maxt"))
-        .select(concat(col("conv_id"), lit("~dup")).as("conv_id"), col("text"))
-      whole.unionByName(clones).select(col("conv_id").as("doc_id"), col("text"))
+      transcriptCorpus(live)
     }
 
     def refresh(convIds: Option[DataFrame], lsn: Long, epoch: Long): Unit = {
@@ -745,14 +655,10 @@ object CdcQueries {
       PairMaintenance.refresh(spark, cfg, docs, tIds, lsn, epoch)
     }
 
-    // Phase 1: bootstrap the state from the converged table.
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 8)
-    Pipeline.replay(spark, pcfg)
-    val vA = IceLite.load(table).version
-    refresh(None, lsn = 1L, epoch = 0L)
-    // Phase 2: refresh ONLY the touched conversations.
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 8)
-    Pipeline.replay(spark, pcfg)
+    // Phase 1 bootstraps the state from the converged table (the between
+    // hook); phase 2 then refreshes ONLY the touched conversations.
+    val (_, vA) = stageTwoPhase(spark, base, lines, half, trigger = 8, files = 8,
+      between = _ => refresh(None, lsn = 1L, epoch = 0L))
     val touched = IceLite.changesSince(spark, table, vA).select("conv_id").distinct()
     refresh(Some(touched), lsn = 2L, epoch = 1L)
 
@@ -832,6 +738,48 @@ object CdcQueries {
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select("conv_id", "turn_idx", "role", "text", "value")
       .orderBy("conv_id", "turn_idx")
+  }
+
+  /** The feed WIRE FORMAT, in one place: a change frame with (op, lsn,
+    * conv_id, turn_idx, role, text, value) rendered to the JSONL envelope
+    * the pipeline parses. Every staged driver verb renders through here, so
+    * a format change is one edit, not a hunt across verbs. (The patch-ts
+    * variant in [[patchUpsert]] stays local — it needs the microsecond
+    * timestamp render.)
+    */
+  private def jsonLines(changes: DataFrame): DataFrame =
+    changes.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+      col("turn_idx"),
+      when(col("op") =!= "D",
+        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+
+  /** Midpoint LSN of events.parquet — the standard two-phase cutoff. */
+  private def halfLsn(spark: SparkSession, sfDir: String): Long =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+
+  /** The two-phase staged-replay scaffold the snapshot/CDF/incremental
+    * verbs share: phase 1 (`filterCol` ≤ half) replays into a fresh table
+    * at `$base/table`, `between` runs against the phase-1 state (WAP
+    * staging, a stream drain, a bootstrap refresh — the verb's distinctive
+    * mid-step), then phase 2 (> half) RESUMES from the same checkpoint.
+    * Returns the pipeline config plus the table version after phase 1 (the
+    * incremental-read cursor).
+    */
+  private def stageTwoPhase(spark: SparkSession, base: String, lines: DataFrame,
+                            half: Long, filterCol: String = "lsn",
+                            trigger: Int = 4, files: Int = 4, merge: String = "lww",
+                            between: Pipeline.Config => Unit = _ => ())
+      : (Pipeline.Config, Int) = {
+    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
+      numBuckets = 16, maxFilesPerTrigger = Some(trigger), merge = merge)
+    FeedGen.writeFeed(lines.filter(col(filterCol) <= half), s"$base/feed/p1", files = files)
+    Pipeline.replay(spark, cfg)
+    val vA = IceLite.load(cfg.tablePath).version
+    between(cfg)
+    FeedGen.writeFeed(lines.filter(col(filterCol) > half), s"$base/feed/p2", files = files)
+    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    (cfg, vA)
   }
 
   /** events.parquet under the change-feed mapping (columnar, no JSON hop). */
@@ -996,17 +944,8 @@ object CdcQueries {
       when((op === "I" && col("event_id") % 7 =!= 0) || (op === "U" && m3 === 1),
         col("value"))
         .when(op === "R" && m3 === 2, lit(0.0)).as("value"))
-    val lines = changes.select(to_json(struct(col("op"), col("lsn"),
-      col("conv_id"), col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4), merge = "patch")
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    val vA = IceLite.load(table).version
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    val lines = jsonLines(changes)
+    val (_, vA) = stageTwoPhase(spark, base, lines, half, merge = "patch")
     IceLite.changesSince(spark, table, vA)
       .select(col("conv_id"), col("turn_idx"),
         when(col(IceLite.DeletedCol), "D").otherwise("U").as("op"),
@@ -1082,8 +1021,7 @@ object CdcQueries {
     import org.apache.spark.sql.expressions.Window
     val base = freshDir("bootstrap", sfDir)
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val half = halfLsn(spark, sfDir)
     // The consistent snapshot at the cutoff: LWW winner per key over the
     // prefix, deletes dropped (a snapshot only sees rows that exist).
     val w = Window.partitionBy("conv_id", "turn_idx").orderBy(col("lsn").desc)
@@ -1092,10 +1030,7 @@ object CdcQueries {
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select(lit("I").as("op"), col("lsn"), col("conv_id"), col("turn_idx"),
         col("role"), col("text"), col("value"))
-    def lines(df: DataFrame) = df.select(to_json(struct(col("op"), col("lsn"),
-      col("conv_id"), col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
+    def lines(df: DataFrame) = jsonLines(df)
     val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
       numBuckets = 16, maxFilesPerTrigger = Some(4))
     FeedGen.writeFeed(lines(snapshot), s"$base/feed/p0-snapshot", files = 4)
@@ -1126,19 +1061,9 @@ object CdcQueries {
   def versionDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("vdiff", sfDir)
     val ev = eventsAsFeed(spark, sfDir)
-    val half = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
-    val lines = ev.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
-      col("turn_idx"),
-      when(col("op") =!= "D",
-        struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines.filter(col("lsn") <= half), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    val vA = IceLite.load(s"$base/table").version
-    FeedGen.writeFeed(lines.filter(col("lsn") > half), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+    val half = halfLsn(spark, sfDir)
+    val lines = jsonLines(ev)
+    val (_, vA) = stageTwoPhase(spark, base, lines, half)
 
     val changed = IceLite.changesSince(spark, s"$base/table", vA)
       .select(col("conv_id"), col("turn_idx"),

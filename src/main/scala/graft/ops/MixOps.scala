@@ -43,10 +43,18 @@ object MixOps {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
     val spark = docs.sparkSession
+    // Persisted across the two passes that need it (the bucket-count
+    // aggregate below, then the keep/boundary joins the returned frame
+    // runs): without the barrier the full input is scanned and hashed
+    // twice. The release listener is registered at the END of this method —
+    // after the internal collect — so the scope covers the CALLER's first
+    // consuming action, not the operator's own aggregate (the returned
+    // frame is lazy, so try/finally would drop the cache too early).
     val inDomain = docs.filter(col(domainCol).isin(weights.keys.toSeq: _*))
       .select(col(idCol), col(domainCol),
         mixHash(col(idCol)).as("_h"),
         conv(substring(mixHash(col(idCol)), 1, 2), 16, 10).cast("int").as("_b"))
+      .persist()
 
     // One tiny aggregate: per-(domain, bucket) counts, cumulated driver-side
     // (≤ |domains|·256 rows — O(1) in the corpus).
@@ -87,6 +95,7 @@ object MixOps {
           .filter(col("_rn") <= col("_take"))
           .select(col(idCol), col(domainCol), col("_h"), col("_b")))
       }
+    CacheScope.releaseWhenConsumed(inDomain)
     ranked.fold(keepWhole)(keepWhole.unionByName(_))
       .select(col(idCol), col(domainCol))
   }

@@ -114,107 +114,115 @@ object PairMaintenance {
     val docSigs = docSigsPath(cfg)
     val bandIdx = bandIdxPath(cfg)
     val pairsT = pairsPath(cfg)
-    val docs = docs0.select(col("doc_id"), col("text")).persist()
-    val tIds = tIds0.select("doc_id").distinct().persist()
+    // Persisted frames unpersist in the finally below: a mid-refresh
+    // failure (commit conflict, executor error in the verify join) must
+    // not leak cached blocks into the session across occRetry re-drives.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+    val docs = keep(docs0.select(col("doc_id"), col("text")))
+    val tIds = keep(tIds0.select("doc_id").distinct())
+    try {
 
-    def slice(path: String, ids: DataFrame, idCol: String): DataFrame = {
-      val snap = IceLite.load(path)
-      val bs = ids.select(IceLite.bucketExpr(col(idCol), snap.numBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      IceLite.readStored(spark, path, snap, buckets = Some(bs))
-    }
-
-    // New signatures + per-position band keys for the present touched docs.
-    val sh = TextOps.shingleSetsOf(spark, docs).persist()
-    val withBks = sh.select(col("doc_id"), col("sh"),
-      transform(TextOps.minhashSignature(spark, col("sh"), cfg.numHashes),
-        (v, i) => concat(lit("b"), i, lit("|"), v)).as("bks")).persist()
-
-    // ---- docsigs: stale bands from the touched docs' STORED rows
-    // (bucket-pruned point reads), then upsert new rows / tombstone
-    // vanished docs.
-    val stored = slice(docSigs, tIds, "doc_id")
-    val oldBands =
-      if (!stored.columns.contains("bks")) // pre-first-write empty schema
-        spark.emptyDataFrame.select(lit("").as("bk"), lit("").as("doc_id")).limit(0)
-      else stored.filter(!col(IceLite.DeletedCol))
-        .join(tIds.withColumnRenamed("doc_id", "conv_id"), Seq("conv_id"), "left_semi")
-        .select(explode(col("bks")).as("bk"), col("conv_id").as("doc_id"))
-    val vanished = tIds.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
-    val dsChanges = withBks.select(lit("U").as("op"), lit(lsn).as("lsn"),
-        col("doc_id").as("conv_id"), lit(0).as("turn_idx"), col("sh"), col("bks"))
-      .unionByName(vanished.select(lit("D").as("op"), lit(lsn).as("lsn"),
-        col("doc_id").as("conv_id"), lit(0).as("turn_idx")), allowMissingColumns = true)
-    MergeApply.applyChanges(spark, docSigs, dsChanges, batchId = epoch)
-
-    // ---- bandindex: retract the bands the re-sign dropped, assert the new
-    // ones. The two key sets are disjoint, so same-LSN arbitration never
-    // ties.
-    val newBands = withBks.select(explode(col("bks")).as("bk"), col("doc_id"))
-    val droppedBands = oldBands.except(newBands)
-    val biChanges = newBands.select(lit("U").as("op"), lit(lsn).as("lsn"),
-        bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx"),
-        col("bk"), col("doc_id"))
-      .unionByName(droppedBands.select(lit("D").as("op"), lit(lsn).as("lsn"),
-        bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
-        allowMissingColumns = true)
-    MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch)
-
-    // ---- candidates: new bands vs the live index. The state side AFTER
-    // the apply already holds the new rows, so touched×touched candidates
-    // come from the same equi-join. The composite "bk@doc" key buckets by
-    // full string, so the partner read spans the live index rather than a
-    // bk-pruned slice — the layout trade vs IncrementalDedup's bk-bucketed
-    // sigindex; a bk-bucketed twin of this table is the scale path and its
-    // probe shape is already measured there.
-    val biSnap = IceLite.load(bandIdx)
-    val biLive = IceLite.readStored(spark, bandIdx, biSnap)
-      .filter(!col(IceLite.DeletedCol))
-      .select(col("bk"), col("doc_id"))
-    val cands = biLive.select(col("bk"), col("doc_id").as("x"))
-      .join(newBands.select(col("bk"), col("doc_id").as("y")), "bk")
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("doc_a"),
-        greatest(col("x"), col("y")).as("doc_b"))
-      .distinct().persist()
-
-    // ---- exact verify against live docsigs, bucket-pruned by candidate ids.
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val shLive = slice(docSigs, candIds, "doc_id")
-      .filter(!col(IceLite.DeletedCol))
-      .select(col("conv_id").as("doc_id"), col("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val verified = cands
-      .join(shLive.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shLive.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .filter(inter.cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - inter) >= cfg.threshold)
-      .select("doc_a", "doc_b").persist()
-
-    // ---- pair view delta: prior live pairs involving T diffed against the
-    // re-verified set — re-found = U, missing = D (the retraction).
-    val pSnap = IceLite.load(pairsT)
-    val priorLive =
-      if (!pSnap.schema.fieldNames.contains("doc_a")) verified.limit(0)
-      else {
-        val p = IceLite.readStored(spark, pairsT, pSnap)
-          .filter(!col(IceLite.DeletedCol)).select("doc_a", "doc_b")
-        p.join(tIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-          .unionByName(
-            p.join(tIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-              .select("doc_a", "doc_b"))
-          .distinct()
+      def slice(path: String, ids: DataFrame, idCol: String): DataFrame = {
+        val snap = IceLite.load(path)
+        val bs = ids.select(IceLite.bucketExpr(col(idCol), snap.numBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        IceLite.readStored(spark, path, snap, buckets = Some(bs))
       }
-    def pk(a: Column, b: Column) = concat(a, lit("|"), b)
-    val pChanges = verified.select(lit("U").as("op"), lit(lsn).as("lsn"),
-        pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx"),
-        col("doc_a"), col("doc_b"))
-      .unionByName(priorLive.except(verified)
-        .select(lit("D").as("op"), lit(lsn).as("lsn"),
-          pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx")),
-        allowMissingColumns = true)
-    MergeApply.applyChanges(spark, pairsT, pChanges, batchId = epoch)
-    Seq(docs, tIds, sh, withBks, cands, verified).foreach(_.unpersist())
+
+      // New signatures + per-position band keys for the present touched docs.
+      val sh = keep(TextOps.shingleSetsOf(spark, docs))
+      val withBks = keep(sh.select(col("doc_id"), col("sh"),
+        transform(TextOps.minhashSignature(spark, col("sh"), cfg.numHashes),
+          (v, i) => concat(lit("b"), i, lit("|"), v)).as("bks")))
+
+      // ---- docsigs: stale bands from the touched docs' STORED rows
+      // (bucket-pruned point reads), then upsert new rows / tombstone
+      // vanished docs.
+      val stored = slice(docSigs, tIds, "doc_id")
+      val oldBands =
+        if (!stored.columns.contains("bks")) // pre-first-write empty schema
+          spark.emptyDataFrame.select(lit("").as("bk"), lit("").as("doc_id")).limit(0)
+        else stored.filter(!col(IceLite.DeletedCol))
+          .join(tIds.withColumnRenamed("doc_id", "conv_id"), Seq("conv_id"), "left_semi")
+          .select(explode(col("bks")).as("bk"), col("conv_id").as("doc_id"))
+      val vanished = tIds.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+      val dsChanges = withBks.select(lit("U").as("op"), lit(lsn).as("lsn"),
+          col("doc_id").as("conv_id"), lit(0).as("turn_idx"), col("sh"), col("bks"))
+        .unionByName(vanished.select(lit("D").as("op"), lit(lsn).as("lsn"),
+          col("doc_id").as("conv_id"), lit(0).as("turn_idx")), allowMissingColumns = true)
+      MergeApply.applyChanges(spark, docSigs, dsChanges, batchId = epoch)
+
+      // ---- bandindex: retract the bands the re-sign dropped, assert the new
+      // ones. The two key sets are disjoint, so same-LSN arbitration never
+      // ties.
+      val newBands = withBks.select(explode(col("bks")).as("bk"), col("doc_id"))
+      val droppedBands = oldBands.except(newBands)
+      val biChanges = newBands.select(lit("U").as("op"), lit(lsn).as("lsn"),
+          bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx"),
+          col("bk"), col("doc_id"))
+        .unionByName(droppedBands.select(lit("D").as("op"), lit(lsn).as("lsn"),
+          bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
+          allowMissingColumns = true)
+      MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch)
+
+      // ---- candidates: new bands vs the live index. The state side AFTER
+      // the apply already holds the new rows, so touched×touched candidates
+      // come from the same equi-join. The composite "bk@doc" key buckets by
+      // full string, so the partner read spans the live index rather than a
+      // bk-pruned slice — the layout trade vs IncrementalDedup's bk-bucketed
+      // sigindex; a bk-bucketed twin of this table is the scale path and its
+      // probe shape is already measured there.
+      val biSnap = IceLite.load(bandIdx)
+      val biLive = IceLite.readStored(spark, bandIdx, biSnap)
+        .filter(!col(IceLite.DeletedCol))
+        .select(col("bk"), col("doc_id"))
+      val cands = biLive.select(col("bk"), col("doc_id").as("x"))
+        .join(newBands.select(col("bk"), col("doc_id").as("y")), "bk")
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"))
+        .distinct()
+      keep(cands)
+
+      // ---- exact verify against live docsigs, bucket-pruned by candidate ids.
+      val candIds = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val shLive = slice(docSigs, candIds, "doc_id")
+        .filter(!col(IceLite.DeletedCol))
+        .select(col("conv_id").as("doc_id"), col("sh"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val verified = cands
+        .join(shLive.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shLive.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter) >= cfg.threshold)
+        .select("doc_a", "doc_b")
+      keep(verified)
+
+      // ---- pair view delta: prior live pairs involving T diffed against the
+      // re-verified set — re-found = U, missing = D (the retraction).
+      val pSnap = IceLite.load(pairsT)
+      val priorLive =
+        if (!pSnap.schema.fieldNames.contains("doc_a")) verified.limit(0)
+        else {
+          val p = IceLite.readStored(spark, pairsT, pSnap)
+            .filter(!col(IceLite.DeletedCol)).select("doc_a", "doc_b")
+          p.join(tIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+            .unionByName(
+              p.join(tIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+                .select("doc_a", "doc_b"))
+            .distinct()
+        }
+      def pk(a: Column, b: Column) = concat(a, lit("|"), b)
+      val pChanges = verified.select(lit("U").as("op"), lit(lsn).as("lsn"),
+          pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx"),
+          col("doc_a"), col("doc_b"))
+        .unionByName(priorLive.except(verified)
+          .select(lit("D").as("op"), lit(lsn).as("lsn"),
+            pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx")),
+          allowMissingColumns = true)
+      MergeApply.applyChanges(spark, pairsT, pChanges, batchId = epoch)
+    } finally persisted.foreach(_.unpersist())
   }
 }
