@@ -65,9 +65,17 @@ object BenchPairMaint {
           (System.nanoTime() - t1) / 1e9
         }
         val pairs = PairMaintenance.livePairs(spark, cfg).count()
+        // The GC verb priced against the same state: rebuildIndex re-derives
+        // the band index from live docsigs (two set-diffs over O(live state))
+        // — the amortized cost of reclaiming crash-retry orphans.
+        val t2 = System.nanoTime()
+        PairMaintenance.rebuildIndex(spark, cfg, lsn = 99, epoch = 99)
+        val tGc = (System.nanoTime() - t2) / 1e9
+        val pairsAfter = PairMaintenance.livePairs(spark, cfg).count()
+        require(pairsAfter == pairs, s"rebuildIndex must not move the pair view ($pairs -> $pairsAfter)")
         println(f"[pairmaint] state=$s%7d boot=$tBoot%7.1fs " +
           f"refresh1k=${laps.map(l => f"$l%.1f").mkString("/")}s " +
-          f"median=${laps.sorted.apply(1)}%5.1fs livePairs=$pairs")
+          f"median=${laps.sorted.apply(1)}%5.1fs livePairs=$pairs rebuildIndex=$tGc%5.1fs")
       }
     } finally spark.stop()
   }
