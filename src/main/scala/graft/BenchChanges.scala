@@ -142,7 +142,7 @@ object BenchChanges {
       col(IceLite.DeletedCol).as("del"), col("text").as("new_text"))
     val snapA = IceLite.loadVersion(s"$base/table", f"v$vA%05d.json")
     val touched = changed
-      .select(IceLite.bucketExpr(col("conv_id"), snapA.numBuckets).as("b"))
+      .select(IceLite.bucketExprFor(snapA, col("conv_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val before = IceLite.readStored(spark, s"$base/table", snapA, Some(touched))
       .filter(!col(IceLite.DeletedCol))

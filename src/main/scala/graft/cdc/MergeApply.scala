@@ -124,7 +124,7 @@ object MergeApply {
         col("op").isNull || !col("op").isin(validOps: _*) ||
           col("lsn").isNull || col("conv_id").isNull || col("turn_idx").isNull ||
           (col("op") =!= "D" && col("after").isNull))
-      .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
+      .withColumn(IceLite.BucketCol, IceLite.bucketExprFor(snap, col("conv_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var payloadCache: Option[DataFrame] = None
@@ -323,7 +323,7 @@ object MergeApply {
       if (schemaDiff.isEmpty) snap.schemas
       else snap.schemas + (newSchemaV -> IceLite.fullSchema(mergedPayload))
     val withBucket = changes0
-      .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
+      .withColumn(IceLite.BucketCol, IceLite.bucketExprFor(snap, col("conv_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // One O(buckets)-row metrics job (count + LSN range per bucket).
@@ -401,7 +401,7 @@ object MergeApply {
 
       // The reduced batch has two consumers only when compaction triggers.
       val reducedPlain = reduce(changes)
-        .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
+        .withColumn(IceLite.BucketCol, IceLite.bucketExprFor(snap, col("conv_id")))
       val reduced = if (toCompact.nonEmpty) reducedPlain.persist(StorageLevel.MEMORY_AND_DISK)
                     else reducedPlain
 
@@ -454,7 +454,7 @@ object MergeApply {
             (snap.buckets ++ snap.deltas).filter(e => toCompact.contains(e.bucket)))
           val batchIn = deltaShapeToStored(reduced.filter(col(IceLite.BucketCol).isin(toCompact.toSeq: _*)), snapAligned)
           val merged = reduce(storedIn.map(_.unionByName(batchIn)).getOrElse(batchIn))
-            .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
+            .withColumn(IceLite.BucketCol, IceLite.bucketExprFor(snap, col("conv_id")))
           // One task per bucket, salted by conv_id when the compaction is
           // large so a hot bucket rewrite parallelizes across `salt` tasks
           // (deterministic: derived from snapshot stats, not runtime state).

@@ -137,7 +137,7 @@ object PatchApply {
       if (schemaDiff.isEmpty) snap.schemas
       else snap.schemas + (newSchemaV -> patchFullSchema(mergedPayload))
     val withBucket = changes0
-      .withColumn(IceLite.BucketCol, IceLite.bucketExpr(col("conv_id"), snap.numBuckets))
+      .withColumn(IceLite.BucketCol, IceLite.bucketExprFor(snap, col("conv_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val stats = withBucket.groupBy(col(IceLite.BucketCol))

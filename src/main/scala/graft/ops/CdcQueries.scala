@@ -100,7 +100,7 @@ object CdcQueries {
     // over a 10-row frame — xxhash64 has no JVM-library twin here).
     import spark.implicits._
     val buckets = convs.toDF("c")
-      .select(IceLite.bucketExpr(col("c"), snap.numBuckets).as("b"))
+      .select(IceLite.bucketExprFor(snap, col("c")).as("b"))
       .collect().map(_.getInt(0)).toSet
     IceLite.readStored(spark, table, snap, Some(buckets))
       .filter(col("conv_id").isInCollection(convs) && !col(IceLite.DeletedCol))
@@ -1071,7 +1071,7 @@ object CdcQueries {
     val snapA = IceLite.loadVersion(s"$base/table", f"v$vA%05d.json")
     // Touched buckets: O(buckets) driver-side, collected from keys, not rows.
     val buckets = changed
-      .select(IceLite.bucketExpr(col("conv_id"), snapA.numBuckets).as("b"))
+      .select(IceLite.bucketExprFor(snapA, col("conv_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val before = IceLite.readStored(spark, s"$base/table", snapA, Some(buckets))
       .filter(!col(IceLite.DeletedCol))

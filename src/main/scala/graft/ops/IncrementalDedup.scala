@@ -122,7 +122,7 @@ object IncrementalDedup {
         // folds them) — no per-batch LWW merge-on-read shuffle of the
         // state slice, just scan + hash join.
         val stateBands = readStateSlice(spark, sigIndex, idxSnap,
-          bands.select(IceLite.bucketExpr(col("bk"), idxSnap.numBuckets).as("b")))
+          bands.select(IceLite.bucketExprFor(idxSnap, col("bk")).as("b")))
           .map(_.select(col("conv_id").as("bk"), col("doc_id")))
         lap("probe_bands")
         // ---- candidates: every (smaller id, batch id) pair sharing a band
@@ -154,7 +154,7 @@ object IncrementalDedup {
           // from docsigs, bucket-pruned by the candidate ids.
           val docSnap = IceLite.load(docSigs)
           val stateSh = readStateSlice(spark, docSigs, docSnap,
-            cands.select(IceLite.bucketExpr(col("doc_a").cast(StringType), docSnap.numBuckets).as("b")))
+            cands.select(IceLite.bucketExprFor(docSnap, col("doc_a").cast(StringType)).as("b")))
             .map(_.select(col("doc_id"), col("sh")))
           lap("probe_docs")
           val aSh = stateSh.map(_.unionByName(sh.select("doc_id", "sh"))).getOrElse(sh)

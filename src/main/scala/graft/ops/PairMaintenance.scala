@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   *
   *  - `docsigs`   key (doc_id, 0) → shingle set + band keys. Re-signing a
   *    doc upserts; a vanished doc tombstones.
-  *  - `bandindex` key ("bk@doc", 0) → (bk, doc). A re-signed doc's STALE
-  *    bands are tombstoned using the band list stored in its own docsigs
-  *    row (a bucket-pruned point read — never "scan the index for doc").
+  *  - `bandindex` key ("bk@doc", 0) → (bk, doc), BUCKETED by the bk prefix
+  *    (icelite `bucketSep` transform) so the candidate probe prunes to the
+  *    touched band keys' buckets. A re-signed doc's STALE bands are
+  *    tombstoned using the band list stored in its own docsigs row (a
+  *    bucket-pruned point read — never "scan the index for doc").
   *  - `pairs`     key ("a|b", 0) → (doc_a, doc_b). U re-asserts, D retracts.
   *
   * Per [[refresh]] with touched docs T: band T's new signatures, probe the
@@ -46,16 +48,33 @@ import org.apache.spark.sql.functions._
   */
 object PairMaintenance {
 
+  /** `bandBuckets` sizes the band index separately from the other two state
+    * tables: its rows are `numHashes`× more numerous and its reads prune by
+    * BAND KEY (the `bucketSep` transform below), so more buckets = finer
+    * probe pruning for small refreshes. Like every icelite bucket count it
+    * can evolve later through `IceLite.rebucket`.
+    */
   case class Config(stateDir: String, numHashes: Int = 16, threshold: Double = 0.5,
-                    numBuckets: Int = 16)
+                    numBuckets: Int = 16, bandBuckets: Int = 64)
 
   private def docSigsPath(cfg: Config) = s"${cfg.stateDir}/docsigs"
   private def bandIdxPath(cfg: Config) = s"${cfg.stateDir}/bandindex"
   private def pairsPath(cfg: Config) = s"${cfg.stateDir}/pairs"
 
-  def init(cfg: Config): Unit =
-    Seq(docSigsPath(cfg), bandIdxPath(cfg), pairsPath(cfg))
+  def init(cfg: Config): Unit = {
+    Seq(docSigsPath(cfg), pairsPath(cfg))
       .foreach(p => if (!IceLite.exists(p)) IceLite.create(p, numBuckets = cfg.numBuckets))
+    // The band index BUCKETS by the band-key prefix of its composite
+    // "<bk>@<doc>" row key (row identity stays per (bk, doc) — the
+    // retraction algebra is untouched), so the candidate probe reads only
+    // the buckets the touched band keys hash to instead of the whole live
+    // index. This is the transform IncrementalDedup's sigindex gets for
+    // free from integer doc ids (bare bk in conv_id, doc id in turn_idx);
+    // string doc ids force the composite key, and the manifest-level
+    // `bucketSep` restores the pruning.
+    if (!IceLite.exists(bandIdxPath(cfg)))
+      IceLite.create(bandIdxPath(cfg), numBuckets = cfg.bandBuckets, bucketSep = Some("@"))
+  }
 
   /** Live pair set (doc_a < doc_b). */
   def livePairs(spark: SparkSession, cfg: Config): DataFrame = {
@@ -125,7 +144,7 @@ object PairMaintenance {
 
       def slice(path: String, ids: DataFrame, idCol: String): DataFrame = {
         val snap = IceLite.load(path)
-        val bs = ids.select(IceLite.bucketExpr(col(idCol), snap.numBuckets).as("b"))
+        val bs = ids.select(IceLite.bucketExprFor(snap, col(idCol)).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         IceLite.readStored(spark, path, snap, buckets = Some(bs))
       }
@@ -168,13 +187,24 @@ object PairMaintenance {
 
       // ---- candidates: new bands vs the live index. The state side AFTER
       // the apply already holds the new rows, so touched×touched candidates
-      // come from the same equi-join. The composite "bk@doc" key buckets by
-      // full string, so the partner read spans the live index rather than a
-      // bk-pruned slice — the layout trade vs IncrementalDedup's bk-bucketed
-      // sigindex; a bk-bucketed twin of this table is the scale path and its
-      // probe shape is already measured there.
+      // come from the same equi-join. On a `bucketSep`-transformed index
+      // every partner row for a band key lives in that key's bucket, so the
+      // probe reads ONLY the buckets the touched band keys hash to —
+      // O(touched-bks / bandBuckets × state) instead of O(state) — and the
+      // equi-join discards the co-bucketed non-touched bks. A 1k-doc
+      // refresh still touches ~every bucket (measured — BENCH.md layout
+      // A/B); the win is the streaming steady state of small refreshes,
+      // where the scan term was the only state-proportional cost left.
+      // Pre-transform state dirs load with bucketSep=None and keep the
+      // full-scan probe (pruning by bare bk would be wrong under the
+      // full-composite-key hash).
       val biSnap = IceLite.load(bandIdx)
-      val biLive = IceLite.readStored(spark, bandIdx, biSnap)
+      val biBuckets: Option[Set[Int]] =
+        if (biSnap.bucketSep.contains("@"))
+          Some(newBands.select(IceLite.bucketExpr(col("bk"), biSnap.numBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet)
+        else None
+      val biLive = IceLite.readStored(spark, bandIdx, biSnap, buckets = biBuckets)
         .filter(!col(IceLite.DeletedCol))
         .select(col("bk"), col("doc_id"))
       val cands = biLive.select(col("bk"), col("doc_id").as("x"))

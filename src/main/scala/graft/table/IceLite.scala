@@ -95,7 +95,8 @@ object IceLite {
                       committedBatches: Set[Long],
                       deltas: Seq[BucketEntry] = Nil,
                       batchWatermark: Long = -1L,
-                      maxLsn: Long = Long.MinValue) {
+                      maxLsn: Long = Long.MinValue,
+                      bucketSep: Option[String] = None) {
     /** Exactly-once check: has this epoch already committed? */
     def hasBatch(id: Long): Boolean = id <= batchWatermark || committedBatches.contains(id)
     /** Record an epoch: add to the window, then advance the watermark over
@@ -129,6 +130,25 @@ object IceLite {
   def bucketExpr(convId: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(convId), lit(numBuckets.toLong)).cast(IntegerType)
 
+  /** The column the table BUCKETS by — `conv_id` itself, or (when the
+    * snapshot carries a `bucketSep` transform, fixed at [[create]] like the
+    * hash function) its prefix before the first separator. Row identity is
+    * always the full `(conv_id, turn_idx)` key; the transform only changes
+    * which rows co-locate, so a table whose composite keys share a prefix
+    * (the band index's `"<bk>@<doc>"`) can be bucket-pruned by that prefix
+    * — Iceberg's partition-transform idea (`bucket(N, expr)`) reduced to the
+    * one expr shape the engine's state tables need.
+    */
+  def bucketKeyExpr(snap: Snapshot, convId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    snap.bucketSep.map(s => substring_index(convId, s, 1)).getOrElse(convId)
+
+  /** Row → bucket under the snapshot's own transform + count. Every writer
+    * and every pruning reader must derive buckets through this (a row routed
+    * under the wrong transform would be invisible to pruned reads forever).
+    */
+  def bucketExprFor(snap: Snapshot, convId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bucketExpr(bucketKeyExpr(snap, convId), snap.numBuckets)
+
   /** Key fields are non-nullable by construction. */
   def keySchema: Seq[StructField] =
     Seq(StructField("conv_id", StringType, nullable = false),
@@ -141,11 +161,13 @@ object IceLite {
 
   // ---------------------------------------------------------------- create
 
-  def create(path: String, payload: StructType = new StructType(), numBuckets: Int = 64): Snapshot = {
+  def create(path: String, payload: StructType = new StructType(), numBuckets: Int = 64,
+             bucketSep: Option[String] = None): Snapshot = {
     val metaDir = Paths.get(path, "meta")
     Files.createDirectories(metaDir)
     Files.createDirectories(Paths.get(path, "data"))
-    val snap = Snapshot(0, 1, numBuckets, Map(1 -> fullSchema(payload)), Nil, Set.empty)
+    val snap = Snapshot(0, 1, numBuckets, Map(1 -> fullSchema(payload)), Nil, Set.empty,
+      bucketSep = bucketSep)
     writeSnapshot(path, snap)
     snap
   }
@@ -177,9 +199,10 @@ object IceLite {
       if (root.has("deltas")) root.get("deltas").elements().asScala.map(entry).toSeq
       else Nil
     val tableMaxLsn = if (root.has("maxLsn")) root.get("maxLsn").asLong() else Long.MinValue
+    val sep = if (root.has("bucketSep")) Some(root.get("bucketSep").asText()) else None
     Snapshot(root.get("version").asInt(), root.get("schemaV").asInt(),
       root.get("numBuckets").asInt(), schemas, buckets, committed, deltas, watermark,
-      tableMaxLsn)
+      tableMaxLsn, sep)
   }
 
   // ---------------------------------------------------------------- commit
@@ -338,6 +361,7 @@ object IceLite {
     putEntries("deltas", snap.deltas)
     root.put("batchWatermark", snap.batchWatermark)
     if (snap.maxLsn != Long.MinValue) root.put("maxLsn", snap.maxLsn)
+    snap.bucketSep.foreach(s => root.put("bucketSep", s))
     val cn = root.putArray("committedBatches")
     snap.committedBatches.toSeq.sorted.foreach(cn.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
@@ -525,7 +549,7 @@ object IceLite {
     // the CAS loser's dir becomes an unreferenced orphan vacuum reclaims.
     val baseDir = f"data/v$newVersion%05d-rebucket-${java.util.UUID.randomUUID().toString.take(8)}"
     val stored = readStored(spark, path, snap)
-      .withColumn(BucketCol, bucketExpr(col("conv_id"), newNumBuckets))
+      .withColumn(BucketCol, bucketExpr(bucketKeyExpr(snap, col("conv_id")), newNumBuckets))
     val rowsIn = (snap.buckets ++ snap.deltas).map(_.rows).sum
     val salt = math.max(1L, math.min(16L, rowsIn / 2000000L)).toInt
     stored.repartition(col(BucketCol), pmod(xxhash64(col("conv_id")), lit(salt)))
