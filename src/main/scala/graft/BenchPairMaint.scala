@@ -20,7 +20,7 @@ object BenchPairMaint {
     * neighbor (same text minus the last word) so verified pairs exist at a
     * controlled ~5% rate.
     */
-  private def corpus(spark: SparkSession, from: Long, n: Long): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, from: Long, n: Long): DataFrame = {
     val words = 24
     spark.range(from, from + n).toDF("i").select(
       concat(lit("d"), lpad(col("i").cast("string"), 8, "0")).as("doc_id"),
@@ -34,7 +34,13 @@ object BenchPairMaint {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(10000L, 40000L, 160000L)
+    // `--legacy` pre-creates the band index WITHOUT the bucketSep prefix
+    // transform (the pre-round-5 full-composite-key hash layout) so the two
+    // index layouts run the IDENTICAL protocol — the measured A/B behind
+    // BENCH.md's pair-maintenance section.
+    val legacy = args.contains("--legacy")
+    val sizeArgs = args.filterNot(_ == "--legacy")
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq else Seq(10000L, 40000L, 160000L)
     val touched = 1000L
     val spark = SparkSession.builder()
       .master("local[32]").appName("bench-pairmaint")
@@ -45,8 +51,12 @@ object BenchPairMaint {
     spark.sparkContext.setLogLevel("WARN")
     try {
       sizes.foreach { s =>
+        val tag = if (legacy) "legacy" else "prefix"
         val cfg = PairMaintenance.Config(
-          s"/root/repo/target/bench-pairmaint/state-$s", numBuckets = 32)
+          s"/root/repo/target/bench-pairmaint/state-$tag-$s", numBuckets = 32)
+        if (legacy && !graft.table.IceLite.exists(s"${cfg.stateDir}/bandindex"))
+          graft.table.IceLite.create(s"${cfg.stateDir}/bandindex",
+            numBuckets = cfg.bandBuckets) // no bucketSep: full-composite hash
         val t0 = System.nanoTime()
         // Bootstrap: the whole corpus is the touched set once.
         val boot = corpus(spark, 0, s)
@@ -64,6 +74,17 @@ object BenchPairMaint {
             lsn = r + 1L, epoch = r.toLong)
           (System.nanoTime() - t1) / 1e9
         }
+        // The streaming steady state the prefix transform targets: a
+        // 10-doc refresh touches ≤ ~2×16 band keys → ≤ ~32 of the 64 index
+        // buckets new, but in practice far fewer per key — under the legacy
+        // layout the probe scans the whole live index regardless.
+        val smallLaps = (1 to 3).map { r =>
+          val docs = corpus(spark, (s / 2 + r * 37) % s, 10)
+          val t1 = System.nanoTime()
+          PairMaintenance.refresh(spark, cfg, docs, docs.select("doc_id"),
+            lsn = r + 10L, epoch = r + 10L)
+          (System.nanoTime() - t1) / 1e9
+        }
         val pairs = PairMaintenance.livePairs(spark, cfg).count()
         // The GC verb priced against the same state: rebuildIndex re-derives
         // the band index from live docsigs (two set-diffs over O(live state))
@@ -73,9 +94,12 @@ object BenchPairMaint {
         val tGc = (System.nanoTime() - t2) / 1e9
         val pairsAfter = PairMaintenance.livePairs(spark, cfg).count()
         require(pairsAfter == pairs, s"rebuildIndex must not move the pair view ($pairs -> $pairsAfter)")
-        println(f"[pairmaint] state=$s%7d boot=$tBoot%7.1fs " +
+        println(f"[pairmaint] layout=$tag state=$s%7d boot=$tBoot%7.1fs " +
           f"refresh1k=${laps.map(l => f"$l%.1f").mkString("/")}s " +
-          f"median=${laps.sorted.apply(1)}%5.1fs livePairs=$pairs rebuildIndex=$tGc%5.1fs")
+          f"median=${laps.sorted.apply(1)}%5.1fs " +
+          f"refresh10=${smallLaps.map(l => f"$l%.1f").mkString("/")}s " +
+          f"median10=${smallLaps.sorted.apply(1)}%5.1fs " +
+          f"livePairs=$pairs rebuildIndex=$tGc%5.1fs")
       }
     } finally spark.stop()
   }

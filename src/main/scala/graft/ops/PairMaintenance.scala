@@ -122,6 +122,61 @@ object PairMaintenance {
     MergeApply.applyChanges(spark, bandIdx, changes, batchId = epoch)
   }
 
+  /** Streaming form — the deployment shape the `bucketSep`-pruned probe is
+    * built for: tail a JSONL feed of document updates (one object per line:
+    * `{"doc_id":…,"text":…}` upserts, `{"doc_id":…,"deleted":true}` removes;
+    * optional `lsn` arbitrates multiple lines for one doc INSIDE a
+    * micro-batch — across batches the micro-batch order is the arbitration,
+    * exactly like the CDC pipeline's epoch-ordered feed) and run one
+    * [[refresh]] per micro-batch under `foreachBatch`, checkpointed.
+    * Restart resumes from the source offset log; a crash between the offset
+    * commit and the state commits is absorbed by the refresh's per-table
+    * epoch guards (a replayed epoch re-derives the same deltas and every
+    * `applyChanges` no-ops — PairMaintenanceRecoverySpec pins the partial
+    * interleavings). Each micro-batch touches only its own docs, so the
+    * steady-state cost is the measured small-refresh row of BENCH.md, not
+    * the corpus.
+    */
+  def stream(spark: SparkSession, feedDir: String, checkpointDir: String,
+             cfg: Config, maxFilesPerTrigger: Option[Int] = None): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType => ST}
+    var batches = 0L
+    var reader = spark.readStream
+      .schema(ST(Seq(StructField("value", StringType))))
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val q = reader.option("recursiveFileLookup", "true").text(feedDir)
+      .writeStream
+      .foreachBatch { (lines: DataFrame, batchId: Long) =>
+        val parsed = lines.select(
+          get_json_object(col("value"), "$.doc_id").as("doc_id"),
+          get_json_object(col("value"), "$.text").as("text"),
+          coalesce(get_json_object(col("value"), "$.deleted").cast("boolean"),
+            lit(false)).as("deleted"),
+          coalesce(get_json_object(col("value"), "$.lsn").cast(LongType), lit(0L)).as("l"))
+          .filter(col("doc_id").isNotNull)
+          // One state per doc per batch: the highest-lsn line wins (map-side
+          // partial max_by — the same fold the table itself runs).
+          .groupBy("doc_id")
+          .agg(max_by(struct(col("text"), col("deleted")), col("l")).as("s"))
+          .select(col("doc_id"), col("s.text").as("text"), col("s.deleted").as("deleted"))
+          .persist()
+        try {
+          val docs = parsed.filter(!col("deleted") && col("text").isNotNull)
+            .select("doc_id", "text")
+          refresh(lines.sparkSession, cfg, docs, parsed.select("doc_id"),
+            lsn = batchId + 1, epoch = batchId)
+        } finally parsed.unpersist()
+        batches += 1
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
   /** One maintenance round: `docs` = the CURRENT (doc_id, text) of every
     * touched document still present; `tIds` = every touched doc id
     * (present or vanished — ids in tIds but not in docs are tombstoned).
