@@ -255,6 +255,9 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "seq_pack" -> ((s, d) => PackOps.seqPack(s, d)),
+    // the dual of seq_pack: split long documents into overlapping
+    // fixed-width token windows (win=64, stride=48, cover semantics).
+    "chunk_stride" -> ((s, d) => PackOps.chunkStride(s, d)),
     // transcripts→training-batches end-to-end: converged CDC conversation
     // table packed into fixed-budget training windows (PackOps.packOver).
     "transcript_pack" -> ((s, d) => CdcQueries.transcriptPack(s, d)),
@@ -660,6 +663,22 @@ object SparkEntry {
         |       CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
         |       CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT) AS pack_last
         |FROM o ORDER BY doc_id""".stripMargin,
+    // Stride chunking (cover semantics): chunk starts 0, 48, 96, … up to
+    // the smallest start whose 64-token window reaches the end of the
+    // document; every chunk except possibly the last is exactly 64 tokens.
+    "chunk_stride" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n, words,
+        |        unnest(range(0, greatest((n - 64 + 48 - 1) // 48, 0) + 1))
+        |          AS chunk_idx
+        |      FROM w)
+        |SELECT doc_id, chunk_idx,
+        |       least(64, n - chunk_idx * 48) AS chunk_tok,
+        |       array_to_string(words[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)],
+        |                       ' ') AS chunk_text
+        |FROM c""".stripMargin,
     // Transcript packing: the oracle recomputes the converged conversation
     // table from events alone (the cdc_lww_window LWW rule), sums each
     // conversation's live-turn text lengths (the deterministic token

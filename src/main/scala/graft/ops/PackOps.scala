@@ -40,6 +40,40 @@ object PackOps {
     packOver(docs, budget, parts).withColumnRenamed("id", "doc_id")
   }
 
+  /** Stride chunking — the dual of [[seqPack]]: instead of concatenating
+    * short documents into fixed windows, split each LONG document into
+    * overlapping fixed-width token windows (HuggingFace
+    * `return_overflowing_tokens`-style: window `win`, hop `stride`,
+    * overlap `win - stride`). Cover semantics: chunk starts are
+    * 0, stride, 2·stride, … up to the smallest start whose window reaches
+    * the end of the document, so every token lands in ≥1 chunk, every
+    * chunk except possibly the last is exactly `win` tokens, and a
+    * document shorter than `win` yields exactly one chunk.
+    *
+    * 100 TB shape: stateless per-document explode — zero shuffles, whole-
+    * stage codegen throughout, fan-out bounded by ⌈n_tok/stride⌉ per row.
+    * Chunk boundaries depend only on (doc text, win, stride), so the op is
+    * reproducible under any repartitioning.
+    */
+  def chunkStride(spark: SparkSession, sfDir: String,
+                  win: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && win >= stride,
+      s"chunkStride: need 1 <= stride <= win, got win=$win stride=$stride")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n_tok", size(col("words")).cast(LongType))
+    docs
+      // last chunk start = smallest multiple of stride with start+win >= n
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(floor((col("n_tok") - win + stride - 1) / stride), lit(0L)))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        least(lit(win.toLong), col("n_tok") - col("start_tok")).as("chunk_tok"),
+        array_join(slice(col("words"),
+          (col("start_tok") + 1).cast(IntegerType), lit(win)), " ").as("chunk_text"))
+  }
+
   /** The reusable packing core: `items` is any `(id: Long, n_tok: Long)`
     * frame whose GLOBAL concatenation order is ascending `id`. Returns one
     * row per item with its exclusive global token offset and the fixed-
