@@ -258,6 +258,12 @@ object SparkEntry {
     // the dual of seq_pack: split long documents into overlapping
     // fixed-width token windows (win=64, stride=48, cover semantics).
     "chunk_stride" -> ((s, d) => PackOps.chunkStride(s, d)),
+    // deterministic global training shuffle: contiguous md5-order positions
+    // via 256 hash-prefix range buckets (no SinglePartition exchange).
+    "shuffle_order" -> ((s, d) => PackOps.shuffleDocs(s, d)),
+    // disjoint-exhaustive train/val/test assignment, hash-keyed with a salt
+    // independent of the sampling salt.
+    "split_assign" -> ((s, d) => CurateOps.splitAssign(s, d)),
     // transcripts→training-batches end-to-end: converged CDC conversation
     // table packed into fixed-budget training windows (PackOps.packOver).
     "transcript_pack" -> ((s, d) => CdcQueries.transcriptPack(s, d)),
@@ -679,6 +685,26 @@ object SparkEntry {
         |       array_to_string(words[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)],
         |                       ' ') AS chunk_text
         |FROM c""".stripMargin,
+    // Deterministic global shuffle: the naive single-window rank the 256-
+    // bucket distributed form must equal (ties broken by doc_id).
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5('shuf-' || CAST(doc_id AS VARCHAR)), doc_id)
+        |         - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+    // Train/val/test assignment: first 16 bits of md5('spl-'||doc_id)
+    // against the 5%/10% holdout boundaries.
+    "split_assign" -> {
+      val hexpr = "md5('spl-' || CAST(doc_id AS VARCHAR))"
+      val h16 = s"(${nib(hexpr, 1)}*4096 + ${nib(hexpr, 2)}*256 + " +
+        s"${nib(hexpr, 3)}*16 + ${nib(hexpr, 4)})"
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN $h16 < ${graft.ops.CurateOps.SplitTestUpper} THEN 'test'
+         |            WHEN $h16 < ${graft.ops.CurateOps.SplitValUpper} THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // Transcript packing: the oracle recomputes the converged conversation
     // table from events alone (the cdc_lww_window LWW rule), sums each
     // conversation's live-turn text lengths (the deterministic token

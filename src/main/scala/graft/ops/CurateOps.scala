@@ -191,9 +191,36 @@ object CurateOps {
       .orderBy("doc_id")
 
   /** First 16 bits of md5("smp-" || doc_id) as a long in [0, 65536). */
-  def stratumHash(docId: Column): Column =
-    conv(substring(md5(concat(lit("smp-"), docId.cast(StringType))), 1, 4), 16, 10)
+  def stratumHash(docId: Column): Column = saltedHash16(docId, "smp-")
+
+  /** First 16 bits of md5(salt || id) as a long in [0, 65536). */
+  def saltedHash16(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast(StringType))), 1, 4), 16, 10)
       .cast(LongType)
+
+  /** Holdout boundaries as fractions of 2^16: hash < 3277 → test (~5%),
+    * < 9830 → val (~10%), else train (~85%). */
+  val SplitTestUpper = 3277
+  val SplitValUpper = 9830
+
+  /** Deterministic train/val/test split assignment: the disjoint-exhaustive
+    * counterpart of [[sampleStratified]] (every document gets exactly one
+    * split; nothing is dropped). Hash-keyed on md5("spl-" || doc_id) with a
+    * salt distinct from the sampling salt, so holdout membership is
+    * independent of sampling survival — a doc's split never changes when
+    * mixture weights are retuned. Zero-shuffle scan-level map, reproducible
+    * under any repartitioning and engine (the DuckDB oracle recomputes the
+    * identical assignment).
+    */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = saltedHash16(col("doc_id"), "spl-")
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        when(h < SplitTestUpper, "test")
+          .when(h < SplitValUpper, "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
 
   /** The per-language rate from [[StratumRates]] (0 for unknown strata). */
   def stratumRate(lang: Column): Column =

@@ -74,6 +74,48 @@ object PackOps {
           (col("start_tok") + 1).cast(IntegerType), lit(win)), " ").as("chunk_text"))
   }
 
+  /** Deterministic global training shuffle: assign every row a contiguous
+    * position 0..n-1 in md5-hash order — the "shuffle the corpus once,
+    * reproducibly" step in front of packing. Hash-keyed (not `rand()`): the
+    * permutation is a pure function of the id, stable across reruns,
+    * partitionings and engines (the DuckDB oracle is the naive single-window
+    * `row_number() OVER (ORDER BY md5, id)`).
+    *
+    * The 100 TB shape avoids that naive form's global sort into ONE
+    * partition: the hash's first two hex chars split the corpus into 256
+    * uniform RANGE buckets (a hash prefix, so bucket asc + hash asc IS the
+    * global hash order); per-bucket counts are one tiny aggregate (≤256 rows,
+    * driver-cumulated exactly like [[packOver]]'s prefix scan), and each
+    * bucket ranks independently — no partition ever exceeds ~n/256 expected
+    * rows and the plan has no SinglePartition exchange.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String, salt: String = "shuf-"): DataFrame = {
+    val spark = docs.sparkSession
+    val h = md5(concat(lit(salt), col(idCol).cast(StringType)))
+    // Persisted across the two passes (bucket-count aggregate, then the
+    // ranked output the caller consumes) — same scope rule as MixOps.
+    val withH = docs.select(col(idCol)).withColumn("_h", h)
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast(IntegerType))
+      .persist()
+    val counts = withH.groupBy("_b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until 256).map(counts.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).dropRight(1)
+    import spark.implicits._
+    val offsets = broadcast(prefix.zipWithIndex
+      .map { case (off, b) => (b, off) }.toDF("_b", "_off"))
+    val inBucket = Window.partitionBy("_b").orderBy(col("_h"), col(idCol))
+    val out = withH.join(offsets, "_b")
+      .withColumn("pos", col("_off") + row_number().over(inBucket) - 1)
+      .select(col(idCol), col("pos"))
+    CacheScope.releaseWhenConsumed(withH)
+    out
+  }
+
+  /** Driver form of [[shuffleOrder]] over documents.parquet. */
+  def shuffleDocs(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleOrder(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+
   /** The reusable packing core: `items` is any `(id: Long, n_tok: Long)`
     * frame whose GLOBAL concatenation order is ascending `id`. Returns one
     * row per item with its exclusive global token offset and the fixed-
