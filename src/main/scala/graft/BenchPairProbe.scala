@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.TextOps
+import graft.ops.{PairMaintenance, TextOps}
 import graft.table.IceLite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
@@ -20,17 +20,20 @@ import org.apache.spark.sql.SparkSession
   * 10^9-doc state this pair (transform + rebucket) is the recorded scale
   * path for small-refresh steady state.
   *
-  * Run AFTER BenchPairMaint has built a prefix-layout state dir:
+  * Run AFTER BenchPairMaint has built a prefix-layout state dir — the
+  * default points at BenchPairMaint's default largest size (160000); for a
+  * bigger state pass matching args to BOTH (`BenchPairMaint 640000`, then
+  * `BenchPairProbe target/bench-pairmaint/state-prefix-640000`):
   * `sbt "runMain graft.BenchPairProbe [stateDir] [rebucketTo]"`.
   */
 object BenchPairProbe {
 
   def main(args: Array[String]): Unit = {
     val stateDir = args.headOption
-      .getOrElse("/root/repo/target/bench-pairmaint/state-prefix-640000")
+      .getOrElse("/root/repo/target/bench-pairmaint/state-prefix-160000")
     val rebucketTo = args.lift(1).map(_.toInt).getOrElse(1024)
     val bandIdx = s"$stateDir/bandindex"
-    val numHashes = 16
+    val numHashes = PairMaintenance.Config(stateDir).numHashes
     val spark = SparkSession.builder()
       .master("local[32]").appName("bench-pairprobe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,9 +53,8 @@ object BenchPairProbe {
           // The touched docs' new band keys, exactly as refresh derives them.
           val docs = BenchPairMaint.corpus(spark, 1000, k.toLong)
           val sh = TextOps.shingleSetsOf(spark, docs)
-          val newBands = sh.select(col("doc_id"), explode(transform(
-              TextOps.minhashSignature(spark, col("sh"), numHashes),
-              (v, i) => concat(lit("b"), i, lit("|"), v))).as("bk"))
+          val newBands = sh.select(col("doc_id"), explode(
+              PairMaintenance.bandKeys(spark, col("sh"), numHashes)).as("bk"))
             .select(col("bk"), col("doc_id").as("y")).persist()
           val nBks = newBands.select("bk").distinct().count()
           val touched = newBands.select(IceLite.bucketExpr(col("bk"), snap.numBuckets).as("b"))

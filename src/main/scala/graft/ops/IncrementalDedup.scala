@@ -242,12 +242,20 @@ object IncrementalDedup {
     * log, and a crash between the offset commit and the state commit is
     * absorbed by `applyBatch`'s epoch guard + deterministic overwrite dirs —
     * the streaming layer adds resume, the batch layer already carries
-    * exactly-once. Returns per-batch survivor counts (−1 = replayed epoch).
+    * exactly-once. Epochs are `checkpoint-pinned base + batchId`
+    * ([[IceLite.pinnedStreamBase]]): a fresh stream deployed over state
+    * that batch [[applyBatch]] calls bootstrapped starts above their
+    * committed epochs — colliding would make the guard swallow the first
+    * micro-batches (and their survivor dirs would collide with the
+    * bootstrap's) while the offset log advanced past the lost files.
+    * Returns per-batch survivor counts (−1 = replayed epoch).
     */
   def stream(spark: SparkSession, feedDir: String, checkpointDir: String,
              cfg: Config, maxFilesPerTrigger: Option[Int] = None): Seq[Long] = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{StructField, StructType => ST}
+    val (epochBase, _) = IceLite.pinnedStreamBase(checkpointDir,
+      Seq(sigIndexPath(cfg), docSigsPath(cfg)))
     val results = scala.collection.mutable.ArrayBuffer.empty[Long]
     var reader = spark.readStream
       .schema(ST(Seq(StructField("value", StringType))))
@@ -262,7 +270,7 @@ object IncrementalDedup {
         // The batch frame is bound to the stream's CLONED session (its
         // function registry was snapshotted at stream start) — register and
         // resolve against that session, not the outer one.
-        val n = applyBatch(lines.sparkSession, docs, batchId, cfg)
+        val n = applyBatch(lines.sparkSession, docs, epochBase + batchId, cfg)
         results.synchronized { results += n }
         ()
       }

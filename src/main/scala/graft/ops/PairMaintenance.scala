@@ -87,6 +87,15 @@ object PairMaintenance {
 
   private def bandRowKey(bk: Column, doc: Column): Column = concat(bk, lit("@"), doc)
 
+  /** The band-key derivation shared by [[refresh]], the probe bench and the
+    * layout specs: per-position MinHash values rendered as `b<i>|<v>` keys.
+    * ONE definition — a drifted copy would silently join a disjoint key set
+    * and measure (or maintain) nothing.
+    */
+  def bandKeys(spark: SparkSession, sh: Column, numHashes: Int): Column =
+    transform(TextOps.minhashSignature(spark, sh, numHashes),
+      (v, i) => concat(lit("b"), i, lit("|"), v))
+
   /** Index GC / recovery: re-derive the band index from LIVE docsigs and
     * reconcile — tombstone orphan rows (bands no live signature carries:
     * the residue of crash-retried refreshes, see the class doc) and assert
@@ -133,39 +142,56 @@ object PairMaintenance {
     * commit and the state commits is absorbed by the refresh's per-table
     * epoch guards (a replayed epoch re-derives the same deltas and every
     * `applyChanges` no-ops — PairMaintenanceRecoverySpec pins the partial
-    * interleavings). Each micro-batch touches only its own docs, so the
-    * steady-state cost is the measured small-refresh row of BENCH.md, not
-    * the corpus.
+    * interleavings). Epochs are `checkpoint-pinned base + batchId` (see
+    * [[streamBase]]), so a fresh stream deployed OVER bootstrapped state
+    * starts above every epoch the bootstrap refreshes committed instead of
+    * colliding with them. Each micro-batch touches only its own docs, so
+    * the steady-state cost is the measured small-refresh row of BENCH.md,
+    * not the corpus.
     */
   def stream(spark: SparkSession, feedDir: String, checkpointDir: String,
              cfg: Config, maxFilesPerTrigger: Option[Int] = None): Long = {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType => ST}
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType => ST}
+    val (epochBase, lsnBase) = streamBase(checkpointDir, cfg)
     var batches = 0L
     var reader = spark.readStream
       .schema(ST(Seq(StructField("value", StringType))))
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val lineSchema = ST(Seq(StructField("doc_id", StringType),
+      StructField("text", StringType), StructField("deleted", BooleanType),
+      StructField("lsn", LongType)))
     val q = reader.option("recursiveFileLookup", "true").text(feedDir)
       .writeStream
       .foreachBatch { (lines: DataFrame, batchId: Long) =>
-        val parsed = lines.select(
-          get_json_object(col("value"), "$.doc_id").as("doc_id"),
-          get_json_object(col("value"), "$.text").as("text"),
-          coalesce(get_json_object(col("value"), "$.deleted").cast("boolean"),
-            lit(false)).as("deleted"),
-          coalesce(get_json_object(col("value"), "$.lsn").cast(LongType), lit(0L)).as("l"))
+        val parsed = lines
+          // ONE JSON parse per line (not one get_json_object per field —
+          // the parse is the ingest term of the small-refresh steady state).
+          .select(from_json(col("value"), lineSchema).as("j"))
+          .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
+            coalesce(col("j.deleted"), lit(false)).as("deleted"),
+            coalesce(col("j.lsn"), lit(0L)).as("l"))
           .filter(col("doc_id").isNotNull)
+          // A non-delete line WITHOUT a text field is malformed, not a
+          // vanish: dropping it here keeps its doc out of tIds, so a
+          // truncated/schema-drifted upsert is ignored rather than silently
+          // tombstoning the document.
+          .filter(col("deleted") || col("text").isNotNull)
           // One state per doc per batch: the highest-lsn line wins (map-side
-          // partial max_by — the same fold the table itself runs).
+          // partial max_by — the same fold the table itself runs). The
+          // ordering key is a TOTAL order (lsn, then delete-beats-upsert,
+          // then text) so an lsn tie — e.g. a feed that omits lsn entirely —
+          // resolves identically on every run and retry re-execution.
           .groupBy("doc_id")
-          .agg(max_by(struct(col("text"), col("deleted")), col("l")).as("s"))
+          .agg(max_by(struct(col("text"), col("deleted")),
+            struct(col("l"), col("deleted"), coalesce(col("text"), lit("")))).as("s"))
           .select(col("doc_id"), col("s.text").as("text"), col("s.deleted").as("deleted"))
           .persist()
         try {
           val docs = parsed.filter(!col("deleted") && col("text").isNotNull)
             .select("doc_id", "text")
           refresh(lines.sparkSession, cfg, docs, parsed.select("doc_id"),
-            lsn = batchId + 1, epoch = batchId)
+            lsn = lsnBase + batchId + 1, epoch = epochBase + batchId)
         } finally parsed.unpersist()
         batches += 1
         ()
@@ -176,6 +202,24 @@ object PairMaintenance {
     q.awaitTermination()
     batches
   }
+
+  /** Pin this checkpoint's (epoch, lsn) base ONCE, so `epoch = base +
+    * batchId` (i) never collides with epochs the state tables committed
+    * BEFORE this stream existed — a fresh stream over bootstrapped state
+    * (the documented batch-`refresh`-then-`stream` pattern) must not see
+    * `hasBatch` and silently drop its first micro-batches — and (ii) stays
+    * REPLAY-STABLE: a restart of the same checkpoint re-reads the pinned
+    * base from the file, so a replayed batchId maps to the epoch its first
+    * attempt used and the per-table guards dedupe it. The lsn base is the
+    * tables' LSN high-watermark for the same reason: stream lsns must sort
+    * above whatever the bootstrap wrote, whatever its lsn scale was.
+    * (Written tmp-then-rename next to the offset log; deleting the
+    * checkpoint deletes the pin with it, and the recomputed base is again
+    * above everything committed.)
+    */
+  private def streamBase(checkpointDir: String, cfg: Config): (Long, Long) =
+    IceLite.pinnedStreamBase(checkpointDir,
+      Seq(docSigsPath(cfg), bandIdxPath(cfg), pairsPath(cfg)))
 
   /** One maintenance round: `docs` = the CURRENT (doc_id, text) of every
     * touched document still present; `tIds` = every touched doc id
@@ -207,8 +251,7 @@ object PairMaintenance {
       // New signatures + per-position band keys for the present touched docs.
       val sh = keep(TextOps.shingleSetsOf(spark, docs))
       val withBks = keep(sh.select(col("doc_id"), col("sh"),
-        transform(TextOps.minhashSignature(spark, col("sh"), cfg.numHashes),
-          (v, i) => concat(lit("b"), i, lit("|"), v)).as("bks")))
+        bandKeys(spark, col("sh"), cfg.numHashes).as("bks")))
 
       // ---- docsigs: stale bands from the touched docs' STORED rows
       // (bucket-pruned point reads), then upsert new rows / tombstone

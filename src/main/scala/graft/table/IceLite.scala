@@ -174,6 +174,42 @@ object IceLite {
 
   def exists(path: String): Boolean = Files.exists(Paths.get(path, "meta", "_current"))
 
+  /** Epoch/LSN base for a checkpointed streaming deployment whose
+    * micro-batch epochs derive from `foreachBatch` batch ids: epochs must
+    * be `base + batchId`, with `base` pinned ONCE per checkpoint. Pinning
+    * gives the two properties the per-table exactly-once guards need:
+    * a FRESH checkpoint over already-committed tables (batch-bootstrapped
+    * state, a redeployment after a checkpoint wipe) starts ABOVE every
+    * committed epoch instead of colliding with them — `hasBatch` would
+    * otherwise silently swallow the first micro-batches while the offset
+    * log advanced past their files — and a RESTART of the same checkpoint
+    * re-reads the pinned file, so a replayed batchId maps to the epoch its
+    * first attempt used and the guards dedupe it.
+    *
+    * Returns `(epochBase, lsnBase)`; `lsnBase` is the tables' LSN
+    * high-watermark (floored at 0) for callers that also derive write lsns
+    * from batch ids — those lsns must sort above whatever the bootstrap
+    * wrote, whatever its lsn scale was. The pin is written tmp-then-rename
+    * next to the offset log and dies with the checkpoint.
+    */
+  def pinnedStreamBase(checkpointDir: String, tables: Seq[String]): (Long, Long) = {
+    val f = new java.io.File(checkpointDir, "graft-epoch-base")
+    if (f.exists) {
+      val Array(e, l) = new String(Files.readAllBytes(f.toPath), "UTF-8").trim.split(" ")
+      (e.toLong, l.toLong)
+    } else {
+      val snaps = tables.filter(exists).map(load)
+      val eBase = (snaps.map(s => math.max(s.batchWatermark,
+        if (s.committedBatches.isEmpty) -1L else s.committedBatches.max)) :+ -1L).max + 1
+      val lBase = math.max(0L, (snaps.map(_.maxLsn) :+ Long.MinValue).max)
+      Files.createDirectories(f.toPath.getParent)
+      val tmp = f.toPath.resolveSibling("graft-epoch-base.tmp")
+      Files.write(tmp, s"$eBase $lBase".getBytes("UTF-8"))
+      Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE)
+      (eBase, lBase)
+    }
+  }
+
   // ------------------------------------------------------------------ load
 
   def load(path: String): Snapshot = {

@@ -130,9 +130,8 @@ class BucketTransformSpec extends AnyFunSuite {
     // on, through the same expression the probe uses.
     val doc = Seq("d3" -> "completely fresh words nothing shared with anything").toDF("doc_id", "text")
     val sh = graft.ops.TextOps.shingleSetsOf(spark, doc)
-    val bks = sh.select(explode(transform(
-      graft.ops.TextOps.minhashSignature(spark, col("sh"), cfg.numHashes),
-      (v, i) => concat(lit("b"), i, lit("|"), v))).as("bk"))
+    val bks = sh.select(explode(
+      PairMaintenance.bandKeys(spark, col("sh"), cfg.numHashes)).as("bk"))
     val touched = bks.select(IceLite.bucketExpr(col("bk"), snap.numBuckets))
       .collect().map(_.getInt(0)).toSet
     assert(touched.size <= cfg.numHashes,

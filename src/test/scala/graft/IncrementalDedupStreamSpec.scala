@@ -75,4 +75,30 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(got3 == referenceSurvivors(corpus, cfg.threshold),
       s"post-append survivors diverge: got $got3")
   }
+
+  test("stream over batch-bootstrapped state: first micro-batch applies, not -1") {
+    val feed = TestSpark.freshDir("incdedup-boot-feed")
+    val ckpt = TestSpark.freshDir("incdedup-boot-ckpt")
+    val state = TestSpark.freshDir("incdedup-boot-state")
+    val cfg = IncrementalDedup.Config(state, numBuckets = 4)
+    import spark.implicits._
+    // Bootstrap through the BATCH API — commits epochs 0 and 1 into the
+    // state tables before any stream exists.
+    val phase1 = corpus.filter(_._1 < 20)
+    IncrementalDedup.applyBatch(spark,
+      phase1.filter(_._1 < 10).toDF("doc_id", "text"), 0L, cfg)
+    IncrementalDedup.applyBatch(spark,
+      phase1.filter(_._1 >= 10).toDF("doc_id", "text"), 1L, cfg)
+    // A fresh stream's first micro-batch gets batchId = 0; without the
+    // checkpoint-pinned epoch base the guard would see hasBatch(0), return
+    // -1 and the feed file's documents would be lost while the offset log
+    // advanced.
+    writeFeedFile(feed, "batch-002.jsonl", corpus.filter(_._1 >= 20))
+    val r = IncrementalDedup.stream(spark, feed, ckpt, cfg, maxFilesPerTrigger = Some(1))
+    assert(r.size == 1 && r.head >= 0,
+      s"the first stream batch over bootstrapped state must apply, got $r")
+    val got = IncrementalDedup.survivors(spark, cfg).select("doc_id").as[Long].collect().toSet
+    assert(got == referenceSurvivors(corpus, cfg.threshold),
+      s"bootstrapped-then-streamed survivors diverge: got $got")
+  }
 }

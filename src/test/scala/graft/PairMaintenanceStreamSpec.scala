@@ -75,12 +75,98 @@ class PairMaintenanceStreamSpec extends AnyFunSuite {
     assert(PairMaintenance.stream(spark, feed, ckpt, cfg) == 0)
     assert(live(cfg) == Set(("A", "D")))
 
-    // Fresh checkpoint = full replay. maxFilesPerTrigger=1 reproduces the
-    // original epoch boundaries, so both refreshes re-derive their deltas
-    // against already-committed epochs and every applyChanges no-ops — the
-    // view is unchanged (crash-retry shape).
+    // Fresh checkpoint = full replay under NEW epochs (the recreated
+    // checkpoint pins its base ABOVE everything committed — see
+    // streamBase). The refreshes re-apply for real against current state
+    // and the view converges by VALUE: replaying f1 regresses B/C, f2
+    // restores them, and the end state is unchanged.
     assert(PairMaintenance.stream(spark, feed, s"$base/ckpt2", cfg,
       maxFilesPerTrigger = Some(1)) == 2)
     assert(live(cfg) == Set(("A", "D")))
+  }
+
+  test("stream over bootstrapped state: the first micro-batch must apply, not collide") {
+    val base = TestSpark.freshDir("pairmaint-boot-stream")
+    val cfg = PairMaintenance.Config(s"$base/state")
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    import spark.implicits._
+    // Batch bootstrap commits epoch 0 — the documented
+    // refresh-then-stream deployment pattern.
+    val boot = Seq("A" -> t, "C" -> "one two three four five six seven")
+      .toDF("doc_id", "text")
+    PairMaintenance.refresh(spark, cfg, boot, boot.select("doc_id"),
+      lsn = 1, epoch = 0)
+    assert(live(cfg) == Set.empty[(String, String)])
+    // A fresh stream's first micro-batch gets batchId = 0; without the
+    // checkpoint-pinned epoch base it would hit hasBatch(0) on all three
+    // tables and silently drop the batch while the offset log advanced.
+    val feed = s"$base/feed"
+    writeFeed(feed, "f1.jsonl", Seq(s"""{"doc_id":"B","text":"$t iota","lsn":5}"""))
+    assert(PairMaintenance.stream(spark, feed, s"$base/ckpt", cfg) == 1)
+    assert(live(cfg) == Set(("A", "B")),
+      "the first stream batch over bootstrapped state must apply, not no-op")
+  }
+
+  test("stream lsns ride above a high-lsn bootstrap (LWW regression guard)") {
+    val base = TestSpark.freshDir("pairmaint-lsn-base")
+    val cfg = PairMaintenance.Config(s"$base/state")
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    import spark.implicits._
+    // Bootstrap on an arbitrary producer LSN scale.
+    val boot = Seq("A" -> t, "B" -> (t + " iota")).toDF("doc_id", "text")
+    PairMaintenance.refresh(spark, cfg, boot, boot.select("doc_id"),
+      lsn = 1000, epoch = 0)
+    assert(live(cfg) == Set(("A", "B")))
+    // The stream rewrite must WIN the tables' LWW against the lsn-1000
+    // bootstrap rows — a batchId-derived lsn (1) would silently lose and
+    // the stale pair would survive.
+    val feed = s"$base/feed"
+    writeFeed(feed, "f1.jsonl", Seq(
+      s"""{"doc_id":"B","text":"totally different words nothing shared here","lsn":1}"""))
+    assert(PairMaintenance.stream(spark, feed, s"$base/ckpt", cfg) == 1)
+    assert(live(cfg) == Set.empty[(String, String)],
+      "the rewrite must retract the bootstrap-era pair despite its higher bootstrap lsn scale")
+  }
+
+  test("malformed upsert (no text, not a delete) is ignored, not a tombstone") {
+    val base = TestSpark.freshDir("pairmaint-malformed")
+    val cfg = PairMaintenance.Config(s"$base/state")
+    val feed = s"$base/feed"
+    val ckpt = s"$base/ckpt"
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    writeFeed(feed, "f1.jsonl", Seq(
+      s"""{"doc_id":"A","text":"$t","lsn":1}""",
+      s"""{"doc_id":"B","text":"$t iota","lsn":1}"""))
+    assert(PairMaintenance.stream(spark, feed, ckpt, cfg) == 1)
+    assert(live(cfg) == Set(("A", "B")))
+    // A truncated / schema-drifted upsert line carries a doc_id but no
+    // text: it must be DROPPED, not interpreted as a vanish that
+    // tombstones A and retracts its pairs.
+    writeFeed(feed, "f2.jsonl", Seq(s"""{"doc_id":"A","lang":"en","lsn":2}"""))
+    assert(PairMaintenance.stream(spark, feed, ckpt, cfg) == 1)
+    assert(live(cfg) == Set(("A", "B")),
+      "a malformed upsert must not become a delete")
+  }
+
+  test("same-lsn tie (feed without lsn) resolves deterministically: delete beats upsert") {
+    val base = TestSpark.freshDir("pairmaint-tie")
+    val cfg = PairMaintenance.Config(s"$base/state")
+    val feed = s"$base/feed"
+    val ckpt = s"$base/ckpt"
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    // No lsn fields anywhere: every line folds at l = 0, so the in-batch
+    // winner for A is decided purely by the documented total order
+    // (delete > upsert at equal lsn) — not by partition scheduling.
+    writeFeed(feed, "f1.jsonl", Seq(
+      s"""{"doc_id":"A","text":"$t"}""",
+      s"""{"doc_id":"A","deleted":true}""",
+      s"""{"doc_id":"B","text":"$t iota"}"""))
+    assert(PairMaintenance.stream(spark, feed, ckpt, cfg) == 1)
+    assert(live(cfg) == Set.empty[(String, String)],
+      "equal-lsn delete must beat the upsert on every run")
+    // And A is genuinely dead, not latent: re-adding it revives the pair.
+    writeFeed(feed, "f2.jsonl", Seq(s"""{"doc_id":"A","text":"$t"}"""))
+    assert(PairMaintenance.stream(spark, feed, ckpt, cfg) == 1)
+    assert(live(cfg) == Set(("A", "B")))
   }
 }
