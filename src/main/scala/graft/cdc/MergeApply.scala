@@ -108,9 +108,9 @@ object MergeApply {
     // setter-LSN columns its stored schema never lists while reads keep
     // LWW-folding (partial rows then win whole-row and null the columns
     // they left alone).
-    require(!patch || snap.schema.isEmpty || IceLite.isPatchSchema(snap.schema),
+    require(!patch || IceLite.isPatchSchema(snap.schema),
       s"$tablePath is a whole-row LWW table — a partial-update (patch) write would mix " +
-        "merge semantics; drop the patch flag or replay into a fresh table")
+        "merge semantics; drop the patch flag or replay into a PatchApply.create'd table")
     val isPatch = patch || IceLite.isPatchSchema(snap.schema)
     val validOps = if (isPatch) Seq("I", "U", "R", "D") else Seq("I", "U", "D")
 
@@ -350,8 +350,9 @@ object MergeApply {
       val changes = withBucket.select(
         Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
           payloadNames.map(n =>
-            (if (changes0.schema.fieldNames.contains(n)) col(n) else lit(null))
-              .cast(mergedPayload(n).dataType).as(n)) ++
+            (if (changes0.schema.fieldNames.contains(n))
+              IceLite.alignColumn(col(n), changes0.schema(n).dataType, mergedPayload(n).dataType)
+            else lit(null).cast(mergedPayload(n).dataType)).as(n)) ++
           Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol)): _*)
 
       reduceAndCommit(spark, tablePath, snap, schemas, newSchemaV, changes,
@@ -635,8 +636,8 @@ object MergeApply {
     spark.read.json(lines)
   }
 
-  private def writeLineage(spark: SparkSession, dir: String, r: ApplyResult,
-                           perBucket: Seq[BucketMetric]): Unit = {
+  private[cdc] def writeLineage(spark: SparkSession, dir: String, r: ApplyResult,
+                                perBucket: Seq[BucketMetric]): Unit = {
     val line = lineageMapper.writeValueAsString(LineageRow(r, perBucket)) + "\n"
     val d = java.nio.file.Paths.get(dir, "batches")
     java.nio.file.Files.createDirectories(d)

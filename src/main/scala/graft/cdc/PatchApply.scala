@@ -119,6 +119,15 @@ object PatchApply {
   : MergeApply.ApplyResult = {
     val t0 = System.nanoTime()
     val snap = IceLite.load(tablePath)
+    // Mirror of applyChanges'/applyRaw's cross-semantics fences: a patch
+    // write into a whole-row LWW table would append _setlsn/_dlsn columns
+    // its stored schema never lists (reads keep LWW-folding and partial
+    // rows then win whole-row, nulling the columns they left alone) — or,
+    // if the payload drifts, flip the stored schema and strip every
+    // pre-existing LWW row in the fold. Fail loudly instead.
+    require(IceLite.isPatchSchema(snap.schema),
+      s"$tablePath is a whole-row LWW table — applyPatches would mix merge semantics; " +
+        "use MergeApply.applyChanges, or target a PatchApply.create'd table")
     if (snap.hasBatch(batchId)) {
       return MergeApply.ApplyResult(batchId, committed = false, snap.version,
         0, 0, 0, 0, 0, 0, 0, 0, 0, "", 0)
@@ -153,8 +162,13 @@ object PatchApply {
         val newSnap = snap.copy(version = snap.version + 1, schemaV = newSchemaV,
           schemas = schemas).withBatch(batchId)
         IceLite.commitSnapshot(tablePath, newSnap)
-        return MergeApply.ApplyResult(batchId, committed = true, newSnap.version,
+        val res = MergeApply.ApplyResult(batchId, committed = true, newSnap.version,
           0, 0, 0, 0, 0, 0, 0, 0, 0, schemaDiff.toString, (System.nanoTime() - t0) / 1000000)
+        // One lineage row per micro-batch, empty included — the same
+        // contract as the applyChanges/applyRaw empty branches; a gap here
+        // would make epoch audits over the lineage log under-count.
+        lineageDir.foreach(MergeApply.writeLineage(spark, _, res, Nil))
+        return res
       }
 
       val payloadNames = mergedPayload.fieldNames.toSeq
@@ -171,8 +185,15 @@ object PatchApply {
           when(col("op") === "I" || present(n).isNotNull, col("lsn")).as("value"))): _*)
       val changes = withBucket.select(
         Seq(col("conv_id"), col("turn_idx").cast(IntegerType).as("turn_idx")) ++
-          payloadNames.map(n => when(col("op") === "R", lit(null))
-            .otherwise(present(n)).cast(mergedPayload(n).dataType).as(n)) ++
+          payloadNames.map { n =>
+            val aligned =
+              if (changes0.schema.fieldNames.contains(n))
+                IceLite.alignColumn(col(n), changes0.schema(n).dataType,
+                  mergedPayload(n).dataType)
+              else lit(null).cast(mergedPayload(n).dataType)
+            when(col("op") === "R", lit(null).cast(mergedPayload(n).dataType))
+              .otherwise(aligned).as(n)
+          } ++
           Seq(col("lsn").as(IceLite.LsnCol), (col("op") === "D").as(IceLite.DeletedCol),
             when(col("op") === "D", typedLit(Map.empty[String, Long]))
               .otherwise(map_from_entries(filter(setEntries, e => e.getField("value").isNotNull)))

@@ -163,6 +163,12 @@ object IceLite {
 
   def create(path: String, payload: StructType = new StructType(), numBuckets: Int = 64,
              bucketSep: Option[String] = None): Snapshot = {
+    // Creating over a live table would swing _current back to an empty v0
+    // WITHOUT the commit path's CAS/lock/token fences — a one-call
+    // lost-update that orphans every committed snapshot. Fail loudly; a
+    // caller that wants a clean slate deletes the directory first.
+    require(!exists(path),
+      s"$path already holds an icelite table — create would orphan its committed state")
     val metaDir = Paths.get(path, "meta")
     Files.createDirectories(metaDir)
     Files.createDirectories(Paths.get(path, "data"))
@@ -490,6 +496,14 @@ object IceLite {
     * never touching files older snapshots reference) and converges to
     * bit-identical state — the replay-from-any-checkpoint contract as an
     * operator-driven recovery verb.
+    *
+    * DOWNSTREAM incremental consumers ([[changesSince]] /
+    * [[IceLiteSource]]) whose cursor sits ABOVE `toVersion` must reset and
+    * re-read: their watermark window cannot express rows that moved
+    * backward (the standard CDC-reader-vs-table-restore rule).
+    * [[changesBetween]] fails loudly while the watermark regression is
+    * visible; once the corrected feed re-advances the watermark past the
+    * old cursor the divergence is undetectable from LSNs alone.
     */
   def rollback(path: String, toVersion: Int): Snapshot = {
     val cur = load(path)
@@ -656,12 +670,35 @@ object IceLite {
   /** Last-writer-wins by `_lsn`: one row per (conv_id, turn_idx), the one
     * with the highest LSN. `max_by` hash-aggregates with map-side partial
     * aggregation, so a hot key collapses before the shuffle (skew-safe).
+    *
+    * The ordering key is a TOTAL order — `(_lsn, _deleted,
+    * orderable payload)` — not `_lsn` alone: an equal-LSN tie (a malformed
+    * producer, or a retry re-executing a batch under different partition
+    * scheduling) must resolve identically on every run or replay does not
+    * converge to bit-identical state. At equal LSN a delete beats an
+    * upsert (the same documented rule as the ops-layer feed folds);
+    * struct comparison short-circuits on `_lsn`, so the common unique-LSN
+    * case pays one long compare. Map-typed payload columns are not
+    * orderable in Spark and stay out of the key (rows tying on everything
+    * else and differing only in a map remain arbitrary — no in-repo
+    * payload has one).
     */
   private[graft] def lwwReduce(df: DataFrame): DataFrame = {
     val others = df.schema.fieldNames.filterNot(KeyCols.contains).toSeq
+    val ord = Seq(col(LsnCol), col(DeletedCol)) ++
+      df.schema.fields.filter(f => !KeyCols.contains(f.name) && f.name != LsnCol &&
+        f.name != DeletedCol && orderableType(f.dataType)).map(f => col(f.name))
     df.groupBy(KeyCols.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col(LsnCol)).as("_w"))
+      .agg(max_by(struct(others.map(col): _*), struct(ord: _*)).as("_w"))
       .select(KeyCols.map(col) ++ others.map(n => col("_w").getField(n).as(n)): _*)
+  }
+
+  /** Types Spark can order (struct comparison rejects maps). */
+  private def orderableType(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => orderableType(f.dataType))
+    case a: ArrayType => orderableType(a.elementType)
+    case _ => true
   }
 
   private[graft] def isPatchSchema(s: StructType): Boolean =
@@ -680,12 +717,21 @@ object IceLite {
         n == SetLsnCol || n == DelLsnCol).toSeq
     def setLsn(c: String): org.apache.spark.sql.Column =
       element_at(col(SetLsnCol), lit(c))
+    // Same total-order rule as [[lwwReduce]]: ties on the lsn resolve by
+    // value (and delete-beats-upsert for liveness), never by partition
+    // scheduling. A row that never set column c gets a null-lsn ordering
+    // field — nulls sort lowest, and the `> _dl` gate in the projection
+    // nulls a null-lsn winner anyway, so the unset case is unchanged.
     val aggs =
       max(col(DelLsnCol)).as("_dl") +:
         max(col(LsnCol)).as("_l") +:
-        max_by(col(DeletedCol), col(LsnCol)).as("_del") +:
-        payload.map(c =>
-          max_by(struct(col(c).as("v"), setLsn(c).as("l")), setLsn(c)).as(s"_w_$c"))
+        max_by(col(DeletedCol), struct(col(LsnCol), col(DeletedCol))).as("_del") +:
+        payload.map { c =>
+          val ord =
+            if (orderableType(df.schema(c).dataType)) struct(setLsn(c), col(c))
+            else struct(setLsn(c))
+          max_by(struct(col(c).as("v"), setLsn(c).as("l")), ord).as(s"_w_$c")
+        }
     val entries = array(payload.map(c =>
       struct(lit(c).as("key"), col(s"_w_$c").getField("l").as("value"))): _*)
     df.groupBy(KeyCols.map(col): _*)
@@ -784,6 +830,17 @@ object IceLite {
     val until = loadVersion(path, f"v$untilVersion%05d.json")
     val since = loadVersion(path, f"v$sinceVersion%05d.json")
     val lo = since.maxLsn
+    // A [[rollback]] inside the window moves the LSN watermark BACKWARD:
+    // rows below the cursor's watermark changed, which an `_lsn > lo`
+    // window can never express — silently returning the empty diff would
+    // leave every incremental consumer permanently diverged (stale
+    // pre-rollback values, re-applied corrections never seen). Fail loudly
+    // so the consumer resets its cursor (full re-read, like any CDC reader
+    // crossing a table restore).
+    require(until.maxLsn == Long.MinValue || until.maxLsn >= lo,
+      s"$path: LSN watermark moved backward between v$sinceVersion (maxLsn=$lo) and " +
+        s"v$untilVersion (maxLsn=${until.maxLsn}) — a rollback crossed this window; " +
+        "incremental reads cannot express it, reset the cursor and re-read the snapshot")
     // A pre-stats `until` has no recorded watermark: take everything (the
     // conservative full upper bound), never an accidentally-empty window.
     val hi = if (until.maxLsn == Long.MinValue) Long.MaxValue else until.maxLsn
@@ -799,15 +856,46 @@ object IceLite {
   }
 
   /** Cast/extend a DataFrame written under an older schema to `target`:
-    * add missing columns as typed nulls, cast widened columns.
+    * add missing columns as typed nulls, cast widened columns. Alignment
+    * recurses BY NAME through structs (and arrays of structs): Spark's
+    * `Cast` only handles struct→struct with equal field counts matched by
+    * POSITION, so a nested ADD COLUMN (SchemaMerge widens nested structs
+    * field-wise) would otherwise make every cross-version read of the
+    * bucket throw from then on.
     */
   private[graft] def alignTo(df: DataFrame, target: StructType): DataFrame = {
-    val present = df.schema.fieldNames.toSet
+    val srcFields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = target.fields.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      srcFields.get(f.name) match {
+        case Some(st) => alignColumn(col(f.name), st, f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** One column of [[alignTo]] — also what the typed write paths run on
+    * their payload columns, where the same struct-arity limitation of
+    * `Cast` would otherwise reject an old producer's rows after a nested
+    * ADD COLUMN.
+    */
+  private[graft] def alignColumn(src: org.apache.spark.sql.Column, srcT: DataType,
+                                 tgtT: DataType): org.apache.spark.sql.Column = (srcT, tgtT) match {
+    case (s, t) if s == t => src
+    case (s: StructType, t: StructType) =>
+      val sub = t.fields.map { f =>
+        s.fields.find(_.name == f.name) match {
+          case Some(sf) => alignColumn(src.getField(f.name), sf.dataType, f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      // struct() of the aligned fields is non-null even when the source
+      // struct was null — preserve row-level null-ness explicitly.
+      when(src.isNull, lit(null).cast(t))
+        .otherwise(struct(sub.toIndexedSeq: _*))
+    case (s: ArrayType, t: ArrayType) =>
+      transform(src, x => alignColumn(x, s.elementType, t.elementType))
+    case _ => src.cast(tgtT)
   }
 
   // ------------------------------------------------------ metadata tables

@@ -253,4 +253,52 @@ class IceLiteSpec extends AnyFunSuite {
     assert(IceLite.readStored(spark, dir, IceLite.load(dir)).count() == 2)
     assert(IceLite.readStored(spark, dir, IceLite.load(dir), Some(Set(3))).count() == 0)
   }
+
+  test("create over an existing table refuses instead of orphaning its state") {
+    val dir = TestSpark.freshDir("create-twice")
+    IceLite.create(dir, payload, numBuckets = 4)
+    val e = intercept[IllegalArgumentException] { IceLite.create(dir, payload) }
+    assert(e.getMessage.contains("already holds"))
+    assert(IceLite.load(dir).version == 0, "the refused create must not touch _current")
+  }
+
+  test("nested-struct evolution: ADD COLUMN inside a struct; cross-version reads and old producers align by name") {
+    import graft.cdc.MergeApply
+    import org.apache.spark.sql.functions.{lit, struct}
+    val dir = TestSpark.freshDir("nested-evolve")
+    IceLite.create(dir, new StructType(), numBuckets = 2)
+    def batch(conv: String, lsn: Long, meta: org.apache.spark.sql.Column) =
+      Seq(("I", lsn, conv, 0)).toDF("op", "lsn", "conv_id", "turn_idx")
+        .withColumn("meta", meta)
+    // Writer v1: meta = struct<a>. Writer v2 ADDs meta.b. Writer v3 is the
+    // OLD producer again (struct<a>) after the widen — both the read path
+    // (alignTo) and the write path (alignColumn) must match struct fields
+    // by NAME; Spark's Cast would reject the arity mismatch outright and
+    // every cross-version read of the bucket would throw from then on.
+    MergeApply.applyChanges(spark, dir, batch("c1", 1L, struct(lit(1L).as("a"))), 0L)
+    MergeApply.applyChanges(spark, dir,
+      batch("c2", 2L, struct(lit(2L).as("a"), lit("x").as("b"))), 1L)
+    MergeApply.applyChanges(spark, dir, batch("c3", 3L, struct(lit(3L).as("a"))), 2L)
+    val rows = IceLite.read(spark, dir)
+      .select($"conv_id", $"meta.a", $"meta.b")
+      .as[(String, Long, Option[String])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(rows == Map("c1" -> ((1L, None)), "c2" -> ((2L, Some("x"))), "c3" -> ((3L, None))))
+  }
+
+  test("equal-LSN tie resolves deterministically: delete beats upsert") {
+    import graft.cdc.MergeApply
+    val dir = TestSpark.freshDir("lww-tie")
+    IceLite.create(dir, payload, numBuckets = 2)
+    // One batch, one key, two rows tying on lsn: whether the key lives must
+    // not depend on partition scheduling — the documented total order says
+    // the delete wins (and the same rule holds re-folded after compaction).
+    val b = Seq(
+      ("U", 5L, "k", 0, "user", "text-v"),
+      ("D", 5L, "k", 0, null, null))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text")
+    MergeApply.applyChanges(spark, dir, b, 0L)
+    assert(IceLite.read(spark, dir).count() == 0,
+      "at equal LSN the delete must win on every run")
+  }
 }

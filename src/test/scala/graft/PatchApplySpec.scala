@@ -163,4 +163,31 @@ class PatchApplySpec extends AnyFunSuite {
     assert(!r.committed && IceLite.load(dir).version == v)
     assert(readRows(dir) === Map(("c", 0) -> ((Some("user"), Some("x"), None))))
   }
+
+  test("applyPatches into a whole-row LWW table fails loudly, like its siblings") {
+    // The mirror of applyChanges' / applyRaw's cross-semantics fences: a
+    // patch write would append setter-LSN columns the stored schema never
+    // lists while reads keep LWW-folding — silent corruption, so require.
+    val dir = TestSpark.freshDir("patch-into-lww")
+    IceLite.create(dir, payload, numBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      PatchApply.applyPatches(spark, dir,
+        changes(Seq(("U", 1L, "c", 0, Some("user"), Some("x"), None))), 0L)
+    }
+    assert(e.getMessage.contains("mix merge semantics"))
+    assert(IceLite.load(dir).version == 0, "the refused write must not commit")
+  }
+
+  test("an empty patch batch writes its lineage row (no epoch gaps in the log)") {
+    val dir = TestSpark.freshDir("patch-empty-lineage")
+    val lin = TestSpark.freshDir("patch-empty-lineage-log")
+    PatchApply.create(dir, payload, numBuckets = 4)
+    val r = PatchApply.applyPatches(spark, dir, changes(Nil), 0L,
+      lineageDir = Some(lin))
+    assert(r.committed)
+    val logged = MergeApply.readLineage(spark, lin)
+      .select("batch.batchId").as[Long].collect().toSeq
+    assert(logged == Seq(0L),
+      "one lineage row per micro-batch, empty batches included")
+  }
 }

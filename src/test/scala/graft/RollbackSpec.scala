@@ -68,4 +68,26 @@ class RollbackSpec extends AnyFunSuite {
       IceLite.rollback(dir, IceLite.load(dir).version + 1)
     }
   }
+
+  test("changesBetween across a rollback fails loudly instead of returning an empty diff") {
+    import spark.implicits._
+    val dir = TestSpark.freshDir("rollback-changes")
+    IceLite.create(dir, StructType(Seq(
+      StructField("role", StringType), StructField("text", StringType))), numBuckets = 2)
+    MergeApply.applyRaw(spark, dir,
+      (0 until 5).map(k => line("I", 100 + k, k, s"v0-$k")).toDF("value"), 0L) // v1
+    MergeApply.applyRaw(spark, dir,
+      (0 until 5).map(k => line("U", 200 + k, k, s"v1-$k")).toDF("value"), 1L) // v2
+    IceLite.rollback(dir, 1) // v3, watermark back at v1's
+    // A consumer checkpointed at v2 asks for the diff to v3: rows BELOW its
+    // watermark changed, which an `_lsn > lo` window cannot express — the
+    // silent alternative is an empty diff and permanent divergence.
+    val e = intercept[IllegalArgumentException] {
+      IceLite.changesBetween(spark, dir, 2, 3).collect()
+    }
+    assert(e.getMessage.contains("rollback"))
+    // A cursor at-or-below the rollback target keeps working: v1 -> v3 is a
+    // genuinely empty window (same watermark), not a regression.
+    assert(IceLite.changesBetween(spark, dir, 1, 3).count() == 0)
+  }
 }
