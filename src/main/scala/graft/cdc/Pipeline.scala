@@ -40,6 +40,7 @@ object Pipeline {
                     vacuumEvery: Int = 8,
                     merge: String = "lww") {
     require(merge == "lww" || merge == "patch", s"unknown merge mode: $merge")
+    require(vacuumEvery > 0, s"vacuumEvery must be positive, got $vacuumEvery")
     def isPatch: Boolean = merge == "patch"
   }
 

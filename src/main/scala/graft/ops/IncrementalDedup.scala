@@ -248,6 +248,11 @@ object IncrementalDedup {
     * committed epochs — colliding would make the guard swallow the first
     * micro-batches (and their survivor dirs would collide with the
     * bootstrap's) while the offset log advanced past the lost files.
+    * The flip side of that pin: WIPING the checkpoint while keeping state
+    * and feed re-processes every feed file under fresh epochs, appending a
+    * second `survivors/batch=` dir per document — a redeployment that
+    * means "continue" must keep the checkpoint; one that means "rebuild"
+    * must clear the state dir (survivors included) with it.
     * Returns per-batch survivor counts (−1 = replayed epoch).
     */
   def stream(spark: SparkSession, feedDir: String, checkpointDir: String,
@@ -267,6 +272,10 @@ object IncrementalDedup {
           get_json_object(col("value"), "$.doc_id").cast(LongType).as("doc_id"),
           get_json_object(col("value"), "$.text").as("text"))
           .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          // A retransmitted doc_id inside one micro-batch folds to a single
+          // row (deterministically — max text on the freak disagreeing
+          // retransmit) or its survivor row would be written twice.
+          .groupBy("doc_id").agg(max(col("text")).as("text"))
         // The batch frame is bound to the stream's CLONED session (its
         // function registry was snapshotted at stream start) — register and
         // resolve against that session, not the outer one.
@@ -309,9 +318,18 @@ object IncrementalDedup {
     * renames staging into place. A re-run after ANY crash converges: a
     * partial staging dir (no `_SUCCESS`) is discarded and rebuilt from the
     * still-intact sources; a complete one skips the rebuild and finishes
-    * the swap. Batches newer than `upToBatch` are untouched, so compaction
+    * the swap. The staging dir is NAMED for its `upToBatch` — a completed
+    * staging left by a crashed run with a DIFFERENT target must not be
+    * adopted (its fold covers a different source set; phase 2 would delete
+    * batches it never folded), so a mismatched leftover is discarded and
+    * rebuilt. Batches newer than `upToBatch` are untouched, so compaction
     * can run beside the NEXT applyBatch — the same append/compact
     * separation the icelite signature tables use.
+    *
+    * `upToBatch` must be a FULLY COMMITTED epoch (both state tables): a
+    * crash-retry of a half-committed batch re-runs its deterministic
+    * `batch=<id>` overwrite, which would replace a folded dir that
+    * happened to land on the same id with that one batch's pairs alone.
     *
     * `outputPartitions` sizes the folded dir (default 1 suits the test
     * corpus; a 10⁹-doc log would keep it proportional to log volume).
@@ -322,6 +340,11 @@ object IncrementalDedup {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(dupPairsPath(cfg))
     if (!Files.exists(root)) return
+    require(IceLite.exists(sigIndexPath(cfg)) &&
+      IceLite.load(sigIndexPath(cfg)).hasBatch(upToBatch) &&
+      IceLite.load(docSigsPath(cfg)).hasBatch(upToBatch),
+      s"compactPairLog: batch $upToBatch is not fully committed — a crash-retry " +
+        "of it would overwrite the folded dir with that one batch's pairs")
     def rmrf(p: Path): Unit = if (Files.exists(p))
       scala.util.Using.resource(Files.walk(p))(
         _.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f)))
@@ -332,7 +355,13 @@ object IncrementalDedup {
           n.startsWith("batch=") &&
             scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= upToBatch)
         }
-    val staged = root.resolve(".compact-staging")
+    val staged = root.resolve(s".compact-staging-$upToBatch")
+    // Stale stagings from other targets (crashed runs, incl. the legacy
+    // unsuffixed name): their phase 2 never ran, so their sources are
+    // intact — discard and let this run fold from the sources.
+    scala.util.Using.resource(Files.list(root))(_.iterator().asScala.toList)
+      .filter(_.getFileName.toString.startsWith(".compact-staging"))
+      .filterNot(_ == staged).foreach(rmrf)
     if (!Files.exists(staged.resolve("_SUCCESS"))) {
       rmrf(staged) // partial staging from a crashed phase 1
       val olds = listOlds()

@@ -61,8 +61,13 @@ class IceLiteSourceProvider extends StreamSourceProvider with DataSourceRegister
     val path = IceLiteSource.pathOf(parameters)
     val startingVersion = parameters.getOrElse("startingVersion", "0").toInt
     require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
+    // Pin the schema Spark ANALYZED the plan with (what sourceSchema
+    // returned), not a second loadPublished: a publish landing between the
+    // two calls would otherwise pin a schema differing from the plan's
+    // attributes. The fallback only fires when a caller constructs the
+    // source outside readStream's sourceSchema→createSource sequence.
     new IceLiteSource(sqlContext, path, startingVersion,
-      IceLite.loadPublished(path).schema)
+      schema.getOrElse(IceLite.loadPublished(path).schema))
   }
 }
 

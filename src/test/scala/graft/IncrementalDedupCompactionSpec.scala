@@ -74,18 +74,56 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
     assert(batchDirs(cfg) == Set("batch=2") && pairSet(cfg) == want,
       "partial staging not recovered")
 
-    // Crash between phase 1 and 2: staging complete (_SUCCESS present),
-    // sources still on disk. The re-run must skip the rebuild and finish
-    // the swap without changing the pair set. Simulated by copying the
-    // folded dir to staging (it IS a completed phase-1 output for upTo=2).
-    Files.createDirectories(staged)
+    // Crash between phase 1 and 2: staging complete (_SUCCESS present) FOR
+    // THIS TARGET, sources still on disk. The re-run must skip the rebuild
+    // and finish the swap without changing the pair set. Simulated by
+    // copying the folded dir to the target-named staging (it IS a completed
+    // phase-1 output for upTo=2).
+    val staged2 = root.resolve(".compact-staging-2")
+    Files.createDirectories(staged2)
     scala.util.Using.resource(Files.list(root.resolve("batch=2")))(
       _.iterator().asScala.foreach(f =>
-        Files.copy(f, staged.resolve(f.getFileName.toString),
+        Files.copy(f, staged2.resolve(f.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)))
-    assert(Files.exists(staged.resolve("_SUCCESS")))
+    assert(Files.exists(staged2.resolve("_SUCCESS")))
     IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 2)
     assert(batchDirs(cfg) == Set("batch=2") && pairSet(cfg) == want,
       "completed-staging recovery diverged")
+  }
+
+  test("a completed staging from a DIFFERENT target is discarded, never adopted") {
+    val cfg = IncrementalDedup.Config(TestSpark.freshDir("incdedup-compact-stale"),
+      numBuckets = 4)
+    applyAll(cfg)
+    val want = DedupReference.pairs(corpus, cfg.threshold)
+    val root = Paths.get(s"${cfg.stateDir}/duppairs")
+    // Simulate compactPairLog(upToBatch=0) crashing between phases: a
+    // COMPLETE staging that folded batch 0 alone (legacy unsuffixed name —
+    // the worst case, indistinguishable from any target without the stamp).
+    val stale = root.resolve(".compact-staging")
+    Files.createDirectories(stale)
+    scala.util.Using.resource(Files.list(root.resolve("batch=0")))(
+      _.iterator().asScala.foreach(f =>
+        Files.copy(f, stale.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)))
+    assert(Files.exists(stale.resolve("_SUCCESS")))
+    // A later, WIDER fold must not adopt it: doing so would delete batches
+    // 1-2 (never folded into that staging) and silently lose their pairs.
+    IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 2)
+    assert(batchDirs(cfg) == Set("batch=2"))
+    assert(pairSet(cfg) == want,
+      "pairs from batches the stale staging never covered must survive the fold")
+  }
+
+  test("folding an uncommitted batch id refuses (crash-retry would overwrite the fold)") {
+    val cfg = IncrementalDedup.Config(TestSpark.freshDir("incdedup-compact-uncommitted"),
+      numBuckets = 4)
+    applyAll(cfg) // epochs 0..2 committed
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 99)
+    }
+    assert(e.getMessage.contains("not fully committed"))
+    assert(batchDirs(cfg) == Set("batch=0", "batch=1", "batch=2"),
+      "the refused fold must not touch the log")
   }
 }
