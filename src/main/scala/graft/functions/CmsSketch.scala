@@ -29,6 +29,10 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class CmsSketch(val depth: Int = 4, val hexChars: Int = 3)
     extends Aggregator[String, Array[Long], Array[Long]] {
+  // 7 hex chars = 2^28 cells/row — past that the Int shift wraps (1 << 32
+  // is 1 on the JVM) and cell() would parse 8+ hex chars into a sign bit.
+  require(depth >= 1 && hexChars >= 1 && hexChars <= 7,
+    s"CmsSketch: need depth >= 1 and 1 <= hexChars <= 7, got depth=$depth hexChars=$hexChars")
   val width: Int = 1 << (4 * hexChars)
 
   def zero: Array[Long] = new Array[Long](depth * width)

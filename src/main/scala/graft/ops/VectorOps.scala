@@ -101,16 +101,27 @@ object VectorOps {
     */
   def lshCandidatePairs(vectors: DataFrame, nPlanes: Int, tables: Int, dim: Int): DataFrame = {
     graft.functions.DotProduct.register(vectors.sparkSession) // lshSignature projects with it
-    val sigs = vectors.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        lshSignature(col("nv"), nPlanes, dim, planeOffset = t * nPlanes)): _*)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val sigs = lshSigTable(vectors, "nv", nPlanes, tables, dim)
     sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_a"))
       .join(sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_b")), Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** `(vec_id, tbl, sig)` — the per-table signature explode shared by
+    * [[lshCandidatePairs]] and [[annLsh]]: ONE definition of the banded key
+    * space (table-offset plane indices), so the pair path and the query
+    * path cannot silently drift apart. Deliberately DROPS the vector
+    * column: the explode multiplies rows by `tables`, and candidate
+    * dedup/joins downstream should move 16-byte ids, not dim-length arrays.
+    */
+  private def lshSigTable(vectors: DataFrame, vecCol: String, nPlanes: Int,
+                          tables: Int, dim: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col(vecCol), nPlanes, dim, planeOffset = t * nPlanes)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
 
   /** Deterministic oracle-able hyperplane component for (plane, dim):
     * +1 when the first hex nibble of md5("<plane>-<dim>") is < 8, else -1 —
@@ -321,19 +332,22 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, sfDir)
     val dim = dimOf(e)
-    val sigs = e.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        // independent tables: offset the plane index space per table
-        lshSignature(col("embedding"), nPlanes, dim, planeOffset = t * nPlanes)): _*)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val sigs = lshSigTable(e, "embedding", nPlanes, tables, dim)
     val q = sigs.filter(col("vec_id") < nQueries)
-      .select(col("tbl"), col("sig"), col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("tbl"), col("sig"), col("vec_id").as("qid"))
+    // Dedup multi-table collisions on the ID PAIR alone, then re-join the
+    // vectors for the re-rank: the distinct's shuffle moves 16 bytes per
+    // candidate instead of two dim-length arrays — at corpus scale the
+    // candidate stage's exchange volume, not the dot products, is the cost.
     val cands = sigs.join(q, Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("embedding"))
+      .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
-    val scored = cands.select(col("qid"), col("nid"),
-      round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+    val scored = cands
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("embedding")), "nid")
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "nid", "cos")

@@ -121,6 +121,11 @@ object Sessionize {
     // form's unix_micros exactly.
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    // (ts, value) is a deterministic fold order for the stream; the batch
+    // twin's groupBy SUM adds in partition-arrival order, so on equal-ts
+    // inputs the two non-associative double sums can differ in the last
+    // ulps (bounds/counts are order-free and always agree — SessionizeSpec
+    // pins parity on the rounded sums).
     val sorted = events.toIndexedSeq.sortBy(e => (micros(e.ts), e.value))
     val out = scala.collection.mutable.ArrayBuffer.empty[Session]
     var open = state.getOption
@@ -162,7 +167,12 @@ object Sessionize {
              watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.selectExpr("CAST(user_id AS LONG) AS user_id", "ts", "CAST(value AS DOUBLE) AS value")
+    // The same TIMESTAMP cast as [[sessions]]: the canonical events feed
+    // carries TIMESTAMP_NTZ, which maps to LocalDateTime and fails the
+    // .as[SEvent] upcast — without it the streaming twin cannot consume
+    // the very schema the batch form documents.
+    events.selectExpr("CAST(user_id AS LONG) AS user_id",
+        "CAST(ts AS TIMESTAMP) AS ts", "CAST(value AS DOUBLE) AS value")
       .withWatermark("ts", watermarkDelay)
       .as[SEvent]
       .groupByKey(_.user_id)
