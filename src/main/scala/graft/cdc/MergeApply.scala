@@ -174,6 +174,11 @@ object MergeApply {
           !col("_env_bad") && col("op") =!= "D" && col("after").isNotNull &&
             (col("_p").isNull || !ltrim(col("after"), " \t\r\n").startsWith("{")))
         .withColumn("_bad", col("_env_bad") || col("_payload_bad"))
+        // `after` is consumed entirely by the two projections above; keeping
+        // the raw payload text in the frame would roughly double the bytes
+        // the dead-letter-path persist below serializes (it already carries
+        // the parsed `_p` struct AND `_raw` for the dead-letter rows).
+        .drop("after")
       // The payload from_json has TWO consumers only when a dead-letter
       // branch will actually run (malformed rows present): cache the parsed
       // payload then, so the batch is payload-parsed ONCE, not once per

@@ -595,9 +595,13 @@ object CdcQueries {
     val live = IceLite.read(spark, s"$base/table")
       .select("conv_id", "turn_idx", "text")
     val corpus = transcriptCorpus(live)
-    TextOps.candidateJaccardOf(spark, corpus)
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b")
+    CacheScope.persistUntilConsumed(
+      TextOps.candidateJaccardOf(spark, corpus)
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b"))
+      // Barrier before the global sort: the range exchange's boundary
+      // sampling would re-execute the whole LSH verify pipeline otherwise
+      // (see TextOps.dedupMinhashLsh).
       .orderBy("doc_a", "doc_b")
   }
 

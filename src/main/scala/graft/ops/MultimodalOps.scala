@@ -35,6 +35,11 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object MultimodalOps {
 
+  // ImageIO's stream cache spools every read/write through a temp FILE by
+  // default — pure disk overhead for the in-memory byte-array codecs here
+  // (thousands of tiny PNG round-trips per corpus pass).
+  ImageIO.setUseCache(false)
+
   // MessageDigest.getInstance does a provider lookup — per-thread reuse,
   // not per-row (the decode runs once per media row over the corpus).
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
@@ -221,6 +226,12 @@ object MultimodalOps {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
         lit(Array.empty[Byte]).as("payload"))
+      // The documents table is one small parquet file → one input split, so
+      // without this every codec round-trip of the corpus runs in a single
+      // task while the other cores idle (input-parallelism skew, the
+      // repartition-after-read fix). The encode/decode below is the whole
+      // cost of the operator and is embarrassingly parallel.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[MediaRow]
       .mapPartitions(_.map { r =>
         r.media_type match {

@@ -134,9 +134,14 @@ object TextOps {
     */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String,
                       numHashes: Int = 16, threshold: Double = 0.5): DataFrame =
-    candidateJaccard(spark, sfDir, numHashes)
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b")
+    CacheScope.persistUntilConsumed(
+      candidateJaccard(spark, sfDir, numHashes)
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b"))
+      // A global sort's range-exchange SAMPLES its child to pick partition
+      // boundaries, re-executing the whole uncached join pipeline a second
+      // time; the barrier makes the sampling pass read the (tiny) verified
+      // pair set instead.
       .orderBy("doc_a", "doc_b")
 
   /** Exact-substring duplicate pairs (the Lee et al. 2022 "Deduplicating
@@ -159,10 +164,19 @@ object TextOps {
     */
   def dedupSubstring(spark: SparkSession, sfDir: String,
                      k: Int = 8, maxDocsPerWindow: Int = 16): DataFrame = {
+    // The corpus arrives as ~2 input splits of one small parquet file; the
+    // k-word window explode + per-window md5 below is the operator's CPU and
+    // would otherwise run on 2 of the 32 cores (input-parallelism skew —
+    // repartition after the read).
     val corpus = withPlantedDups(spark, sfDir)
-    val win = corpus.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text"), k))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    // One persist barrier: `win` feeds the frequency count AND both sides of
+    // the window-key self-join — uncached, the explode + per-window md5 of
+    // the whole corpus re-evaluated three times in the one consuming action.
+    val win = CacheScope.persistUntilConsumed(
+      corpus.select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), k))).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h")))
     val rare = win.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxDocsPerWindow && col("n") >= 2)
     val r = win.join(rare.select("h"), Seq("h"), "left_semi")
@@ -244,8 +258,10 @@ object TextOps {
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String,
                         threshold: Double = 0.4): DataFrame =
-    candidateJaccard(spark, sfDir)
-      .filter(col("jaccard") >= threshold)
+    CacheScope.persistUntilConsumed(
+      candidateJaccard(spark, sfDir)
+        .filter(col("jaccard") >= threshold))
+      // Barrier before the global sort — see [[dedupMinhashLsh]].
       .orderBy("doc_a", "doc_b")
 
   /** 64-bit SimHash over word hashes as two 32-bit halves (lo, hi):

@@ -76,17 +76,23 @@ object ParquetStats {
     DirStats(rows, if (minK == null) "" else minK, if (maxK == null) "" else maxK, lo, hi)
   }
 
-  /** Stats for every `_bucket=N` subdirectory of a partitioned write. */
+  /** Stats for every `_bucket=N` subdirectory of a partitioned write.
+    * Footer reads run on the JVM common pool: a 64-bucket delta write means
+    * 64 independent footer opens, and reading them sequentially on the
+    * driver was a visible slice of every apply's fixed cost (each open is
+    * ~ms of filesystem latency, not CPU).
+    */
   def bucketDirStats(conf: Configuration, writeDir: String,
                      keyColumn: String): Map[Int, DirStats] = {
     val p = new HPath(writeDir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Map.empty
-    fs.listStatus(p).iterator
+    val dirs = fs.listStatus(p)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${IceLite.BucketCol}="))
-      .map { st =>
-        val b = st.getPath.getName.substring(IceLite.BucketCol.length + 1).toInt
-        b -> dirStats(conf, st.getPath.toString, keyColumn)
-      }.toMap
+    dirs.map { st =>
+      val b = st.getPath.getName.substring(IceLite.BucketCol.length + 1).toInt
+      b -> java.util.concurrent.CompletableFuture.supplyAsync(
+        () => dirStats(conf, st.getPath.toString, keyColumn))
+    }.map { case (b, f) => b -> f.get() }.toMap
   }
 }
