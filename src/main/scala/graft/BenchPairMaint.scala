@@ -52,8 +52,13 @@ object BenchPairMaint {
     try {
       sizes.foreach { s =>
         val tag = if (legacy) "legacy" else "prefix"
+        // Bucket count tracks state size (the rebucket story: ~300 docs per
+        // bucket), so bucket-granular pruning — the prior-pairs read, the
+        // docsigs slices — stays FLAT per touched doc as state grows instead
+        // of proportional at a fixed bucket count. 10k→32, 40k→128, 160k→512.
+        val stateBuckets = math.max(32, Integer.highestOneBit((s / 300).toInt))
         val cfg = PairMaintenance.Config(
-          s"/root/repo/target/bench-pairmaint/state-$tag-$s", numBuckets = 32)
+          s"/root/repo/target/bench-pairmaint/state-$tag-$s", numBuckets = stateBuckets)
         if (legacy && !graft.table.IceLite.exists(s"${cfg.stateDir}/bandindex"))
           graft.table.IceLite.create(s"${cfg.stateDir}/bandindex",
             numBuckets = cfg.bandBuckets) // no bucketSep: full-composite hash
@@ -85,6 +90,23 @@ object BenchPairMaint {
             lsn = r + 10L, epoch = r + 10L)
           (System.nanoTime() - t1) / 1e9
         }
+        // Deterministic prior-pairs read cost, from the manifest (like
+        // BenchPairProbe): rows the pruned prior-pairs read OPENS for a
+        // 10-doc touched set = manifest rows of the buckets those ids hash
+        // to, vs the total pair-state rows a full scan would read. On the
+        // oriented layout this stays flat as pair state grows; a legacy
+        // table reads everything.
+        val pSnap = graft.table.IceLite.load(s"${cfg.stateDir}/pairs")
+        val probeDocs = corpus(spark, (s / 2 + 37) % s, 10)
+        val probeBuckets = probeDocs
+          .select(graft.table.IceLite.bucketExprFor(pSnap, col("doc_id")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val pairEntries = pSnap.buckets ++ pSnap.deltas
+        val totalPairRows = pairEntries.map(_.rows).sum
+        val openedPairRows =
+          if (pSnap.bucketSep.contains("|"))
+            pairEntries.filter(e => probeBuckets.contains(e.bucket)).map(_.rows).sum
+          else totalPairRows
         val pairs = PairMaintenance.livePairs(spark, cfg).count()
         // The GC verb priced against the same state: rebuildIndex re-derives
         // the band index from live docsigs (two set-diffs over O(live state))
@@ -99,6 +121,7 @@ object BenchPairMaint {
           f"median=${laps.sorted.apply(1)}%5.1fs " +
           f"refresh10=${smallLaps.map(l => f"$l%.1f").mkString("/")}s " +
           f"median10=${smallLaps.sorted.apply(1)}%5.1fs " +
+          f"priorRead10=$openedPairRows/$totalPairRows rows " +
           f"livePairs=$pairs rebuildIndex=$tGc%5.1fs")
       }
     } finally spark.stop()

@@ -74,6 +74,14 @@ object MergeApply {
   private[cdc] val reservedNames =
     Set("conv_id", "turn_idx", IceLite.LsnCol, IceLite.DeletedCol, IceLite.BucketCol, "op", "lsn")
 
+  /** Below this many pre-reduce rows a batch's delta write runs as one task
+    * (see the delta-append block): ~100k reduced rows write in ~100ms, and
+    * the saved exchange + task fan-out dominate at micro-batch sizes. Not a
+    * cluster-tuning knob — it separates maintenance/trickle batches from
+    * bulk batches at any scale.
+    */
+  private[cdc] val SmallBatchRows = 100000L
+
   /** Apply one micro-batch of raw JSONL lines (single `value` column).
     *
     * `patch = true` runs the SAME raw path under the partial-update merge
@@ -438,8 +446,23 @@ object MergeApply {
           // foreachBatch included.
           // Retried (uncommitted) batches write a fresh attempt dir; the
           // stale attempt's dir is an unreferenced orphan vacuum reclaims.
-          deltaPart.repartition(col(IceLite.BucketCol))
-            .sortWithinPartitions("conv_id", "turn_idx")
+          //
+          // SMALL batches (pre-reduce rows below SmallBatchRows — known from
+          // the scan, driver-side, so the choice is deterministic) skip that
+          // bucket repartition: coalesce(1) narrows only the post-shuffle
+          // reduce stage (the map side keeps its parallelism), and the
+          // leading-BucketCol sort satisfies the partitioned write's
+          // required ordering, so one task writes the same one-file-per-
+          // bucket layout with one exchange instead of two. A maintenance
+          // refresh or staged-harness micro-batch is this shape; a
+          // production-scale batch takes the parallel path unchanged.
+          val oneTask = estRows.valuesIterator.sum < SmallBatchRows
+          val writerIn =
+            if (oneTask) deltaPart.coalesce(1)
+              .sortWithinPartitions(IceLite.BucketCol, "conv_id", "turn_idx")
+            else deltaPart.repartition(col(IceLite.BucketCol))
+              .sortWithinPartitions("conv_id", "turn_idx")
+          writerIn
             .write.mode(SaveMode.Overwrite)
             .partitionBy(IceLite.BucketCol)
             .parquet(s"$tablePath/$deltaDir")

@@ -46,7 +46,10 @@ object CurateOps {
     */
   def decontaminate(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val d = docs(spark, sfDir)
-    decontaminateOf(spark, d, d, k).orderBy("doc_id")
+    // Barrier before the global sort: its boundary-sampling pass would
+    // re-run the corpus-side k-gram explode + join otherwise.
+    CacheScope.persistUntilConsumed(decontaminateOf(spark, d, d, k))
+      .orderBy("doc_id")
   }
 
   /** [[decontaminate]] over an arbitrary `(doc_id, text)` corpus, with the
@@ -89,7 +92,11 @@ object CurateOps {
     * every planted offender while the natural corpus mostly passes.
     */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionStatsOf(spark, withPlantedRepeats(spark, sfDir)).orderBy("doc_id")
+    // Barrier before the global sort (see [[decontaminate]]): the sampling
+    // pass re-ran both gram-explode branches of the stats join otherwise.
+    CacheScope.persistUntilConsumed(
+      repetitionStatsOf(spark, withPlantedRepeats(spark, sfDir)))
+      .orderBy("doc_id")
 
   /** [[repetitionStats]] over an arbitrary `(doc_id, text)` corpus (unordered). */
   def repetitionStatsOf(spark: SparkSession, corpus: DataFrame): DataFrame = {
@@ -159,11 +166,13 @@ object CurateOps {
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val withPii = withPlantedPii(spark, sfDir)
     val deEmailed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
-    withPii.select(
+    // Barrier before the global sort (see [[decontaminate]]): the sampling
+    // pass re-ran the whole regex scan otherwise.
+    CacheScope.persistUntilConsumed(withPii.select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
       regexp_count(deEmailed, lit(PhoneRe)).as("n_phones"),
-      regexp_replace(deEmailed, PhoneRe, "<PHONE>").as("scrubbed"))
+      regexp_replace(deEmailed, PhoneRe, "<PHONE>").as("scrubbed")))
       .orderBy("doc_id")
   }
 
@@ -251,13 +260,16 @@ object CurateOps {
       .select("doc_id")
     val kept = repetitionStatsOf(spark, corpus)
       .filter(col("keep")).select("doc_id")
-    corpus
+    // Barrier before the global sort (see [[decontaminate]]): the sampling
+    // pass re-ran the corpus scan, the three filter joins and the scrub-md5
+    // projection otherwise.
+    CacheScope.persistUntilConsumed(corpus
       .join(dropped, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(kept, Seq("doc_id"), "left_semi")
       .filter(stratumHash(col("doc_id")) < stratumRate(col("lang")))
       .select(col("doc_id"), col("lang"),
-        md5(scrubbedText(piiPlantedText(col("doc_id"), col("text")))).as("fp"))
+        md5(scrubbedText(piiPlantedText(col("doc_id"), col("text")))).as("fp")))
       .orderBy("doc_id")
   }
 }

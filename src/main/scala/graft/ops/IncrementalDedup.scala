@@ -356,12 +356,32 @@ object IncrementalDedup {
             scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= upToBatch)
         }
     val staged = root.resolve(s".compact-staging-$upToBatch")
-    // Stale stagings from other targets (crashed runs, incl. the legacy
-    // unsuffixed name): their phase 2 never ran, so their sources are
-    // intact — discard and let this run fold from the sources.
+    // Stale stagings from other targets (crashed runs): WITHOUT `_SUCCESS`
+    // their phase 1 never finished and the sources are intact — discard.
+    // WITH `_SUCCESS` the crashed run may have died mid-phase-2, after
+    // deleting some of its source dirs — the staging can then be the ONLY
+    // copy of those batches' pairs, so it must be ADOPTED, not discarded:
+    // its name encodes its own upToBatch, so finish its swap (delete olds
+    // ≤ that target, rename into place) before starting this fold. A
+    // legacy unsuffixed `.compact-staging` with `_SUCCESS` has an unknown
+    // target and is left in place untouched (hidden dirs are invisible to
+    // partition discovery, so it is inert) rather than risk either loss.
     scala.util.Using.resource(Files.list(root))(_.iterator().asScala.toList)
       .filter(_.getFileName.toString.startsWith(".compact-staging"))
-      .filterNot(_ == staged).foreach(rmrf)
+      .filterNot(_ == staged).foreach { p =>
+        val tgt = scala.util.Try(
+          p.getFileName.toString.stripPrefix(".compact-staging-").toLong).toOption
+        if (!Files.exists(p.resolve("_SUCCESS"))) rmrf(p)
+        else tgt.foreach { t =>
+          scala.util.Using.resource(Files.list(root))(_.iterator().asScala.toList)
+            .filter { o =>
+              val n = o.getFileName.toString
+              n.startsWith("batch=") &&
+                scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= t)
+            }.foreach(rmrf)
+          Files.move(p, root.resolve(s"batch=$t"))
+        }
+      }
     if (!Files.exists(staged.resolve("_SUCCESS"))) {
       rmrf(staged) // partial staging from a crashed phase 1
       val olds = listOlds()

@@ -240,7 +240,11 @@ object MultimodalOps {
           case _ => r.copy(payload = encodeVideo(r.doc_id))
         }
       })
-    media.mapPartitions(_.map(decode)).toDF()
+    // Barrier before the global sort: the range exchange's boundary sampling
+    // would otherwise re-run the encode+decode of every payload a second
+    // time (the codec work is the whole operator).
+    graft.ops.CacheScope.persistUntilConsumed(
+      media.mapPartitions(_.map(decode)).toDF())
       .orderBy("doc_id")
   }
 }

@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   *    touched band keys' buckets. A re-signed doc's STALE bands are
   *    tombstoned using the band list stored in its own docsigs row (a
   *    bucket-pruned point read — never "scan the index for doc").
-  *  - `pairs`     key ("a|b", 0) → (doc_a, doc_b). U re-asserts, D retracts.
+  *  - `pairs`     TWO oriented rows per pair — keys ("a|b", 0) and
+  *    ("b|a", 0), canonical orientation flagged `fwd` — BUCKETED by the
+  *    first endpoint (the `bucketSep` transform again), so the prior-pairs
+  *    read below is a bucket-pruned point read like every other state
+  *    access. U re-asserts, D retracts, both orientations in one commit.
   *
   * Per [[refresh]] with touched docs T: band T's new signatures, probe the
   * live band index for partners, exact-verify against live docsigs
   * (bucket-pruned by candidate ids), then diff against the PRIOR live pairs
-  * involving T — re-found = U, missing = D. Every pair a change could
+  * involving T (bucket-pruned by T's ids) — re-found = U, missing = D. Every pair a change could
   * affect involves a T-doc and every verified candidate involves a T-doc,
   * so the diff is exactly the view delta; pair rows between untouched docs
   * are never rewritten. Exactly-once per refresh via the tables' batch
@@ -61,9 +65,36 @@ object PairMaintenance {
   private def bandIdxPath(cfg: Config) = s"${cfg.stateDir}/bandindex"
   private def pairsPath(cfg: Config) = s"${cfg.stateDir}/pairs"
 
+  /** Opt-in stderr phase timing (`GRAFT_TRACE=1`) — a refresh is many small
+    * jobs and the split is invisible from the outside otherwise.
+    */
+  private val trace = sys.env.get("GRAFT_TRACE").contains("1")
+  @inline private def timed[A](name: String)(f: => A): A =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      val detail = r match {
+        case a: MergeApply.ApplyResult =>
+          s" (scan=${a.scanMs}ms write=${a.writeMs}ms compact=${a.compactMs}ms total=${a.durationMs}ms)"
+        case _ => ""
+      }
+      System.err.println(f"[pairmaint] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2fs$detail")
+      r
+    }
+
   def init(cfg: Config): Unit = {
-    Seq(docSigsPath(cfg), pairsPath(cfg))
-      .foreach(p => if (!IceLite.exists(p)) IceLite.create(p, numBuckets = cfg.numBuckets))
+    if (!IceLite.exists(docSigsPath(cfg)))
+      IceLite.create(docSigsPath(cfg), numBuckets = cfg.numBuckets)
+    // The pairs table stores each pair as TWO ORIENTED rows (key "<x>|<y>"
+    // for both endpoint orders, the canonical doc_a<doc_b orientation
+    // flagged `fwd`), bucketed by the FIRST endpoint through the same
+    // `bucketSep` prefix transform as the band index. "Prior live pairs
+    // involving touched docs T" is then a bucket-pruned read of T's own
+    // buckets — every pair involving a T-doc has an oriented row whose
+    // bucket is that doc's — instead of a scan of the whole pair state,
+    // which was the last state-proportional term in the refresh path.
+    if (!IceLite.exists(pairsPath(cfg)))
+      IceLite.create(pairsPath(cfg), numBuckets = cfg.numBuckets, bucketSep = Some("|"))
     // The band index BUCKETS by the band-key prefix of its composite
     // "<bk>@<doc>" row key (row identity stays per (bk, doc) — the
     // retraction algebra is untouched), so the candidate probe reads only
@@ -76,13 +107,20 @@ object PairMaintenance {
       IceLite.create(bandIdxPath(cfg), numBuckets = cfg.bandBuckets, bucketSep = Some("@"))
   }
 
-  /** Live pair set (doc_a < doc_b). */
+  /** Live pair set (doc_a < doc_b). On the oriented two-row layout (see
+    * [[init]]) the canonical `fwd` rows alone ARE the pair set; legacy
+    * single-row tables read as before.
+    */
   def livePairs(spark: SparkSession, cfg: Config): DataFrame = {
     val p = pairsPath(cfg)
     val snap = IceLite.load(p)
     if (!snap.schema.fieldNames.contains("doc_a"))
       spark.emptyDataFrame.select(lit("").as("doc_a"), lit("").as("doc_b")).limit(0)
-    else IceLite.read(spark, p).select("doc_a", "doc_b")
+    else {
+      val rows = IceLite.read(spark, p)
+      (if (snap.schema.fieldNames.contains("fwd")) rows.filter(col("fwd")) else rows)
+        .select("doc_a", "doc_b")
+    }
   }
 
   private def bandRowKey(bk: Column, doc: Column): Column = concat(bk, lit("@"), doc)
@@ -225,6 +263,14 @@ object PairMaintenance {
     * touched document still present; `tIds` = every touched doc id
     * (present or vanished — ids in tIds but not in docs are tombstoned).
     * `lsn` must be monotone across refreshes; `epoch` keys exactly-once.
+    *
+    * Out-of-band batch refreshes MUST NOT run once a [[stream]] checkpoint
+    * has pinned its epoch base over these state tables: a manual refresh
+    * committing an epoch at or above `base + nextBatchId` would collide
+    * with a future micro-batch, whose per-table `hasBatch` guard then
+    * silently no-ops it while the stream's offset log advances past its
+    * files. Bootstrap batch-refreshes belong BEFORE the stream's first
+    * start (the pin is computed above everything committed at that point).
     */
   def refresh(spark: SparkSession, cfg: Config, docs0: DataFrame, tIds0: DataFrame,
               lsn: Long, epoch: Long): Unit = {
@@ -256,7 +302,7 @@ object PairMaintenance {
       // ---- docsigs: stale bands from the touched docs' STORED rows
       // (bucket-pruned point reads), then upsert new rows / tombstone
       // vanished docs.
-      val stored = slice(docSigs, tIds, "doc_id")
+      val stored = timed("slice docsigs")(slice(docSigs, tIds, "doc_id"))
       val oldBands =
         if (!stored.columns.contains("bks")) // pre-first-write empty schema
           spark.emptyDataFrame.select(lit("").as("bk"), lit("").as("doc_id")).limit(0)
@@ -268,7 +314,8 @@ object PairMaintenance {
           col("doc_id").as("conv_id"), lit(0).as("turn_idx"), col("sh"), col("bks"))
         .unionByName(vanished.select(lit("D").as("op"), lit(lsn).as("lsn"),
           col("doc_id").as("conv_id"), lit(0).as("turn_idx")), allowMissingColumns = true)
-      MergeApply.applyChanges(spark, docSigs, dsChanges, batchId = epoch)
+      timed("apply docsigs")(
+        MergeApply.applyChanges(spark, docSigs, dsChanges, batchId = epoch))
 
       // ---- bandindex: retract the bands the re-sign dropped, assert the new
       // ones. The two key sets are disjoint, so same-LSN arbitration never
@@ -281,7 +328,8 @@ object PairMaintenance {
         .unionByName(droppedBands.select(lit("D").as("op"), lit(lsn).as("lsn"),
           bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
           allowMissingColumns = true)
-      MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch)
+      timed("apply bandindex")(
+        MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch))
 
       // ---- candidates: new bands vs the live index. The state side AFTER
       // the apply already holds the new rows, so touched×touched candidates
@@ -316,7 +364,7 @@ object PairMaintenance {
       // ---- exact verify against live docsigs, bucket-pruned by candidate ids.
       val candIds = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val shLive = slice(docSigs, candIds, "doc_id")
+      val shLive = timed("slice verify-sigs")(slice(docSigs, candIds, "doc_id"))
         .filter(!col(IceLite.DeletedCol))
         .select(col("conv_id").as("doc_id"), col("sh"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -329,10 +377,23 @@ object PairMaintenance {
       keep(verified)
 
       // ---- pair view delta: prior live pairs involving T diffed against the
-      // re-verified set — re-found = U, missing = D (the retraction).
+      // re-verified set — re-found = U, missing = D (the retraction). On the
+      // oriented two-row layout (see [[init]]) the prior-pairs read opens
+      // ONLY the touched docs' buckets — the pair-side analogue of the band
+      // probe's `bucketSep` pruning; a pre-transform pairs dir (no
+      // bucketSep) keeps the legacy single-row layout and its full read.
       val pSnap = IceLite.load(pairsT)
+      val oriented = pSnap.bucketSep.contains("|")
       val priorLive =
         if (!pSnap.schema.fieldNames.contains("doc_a")) verified.limit(0)
+        else if (oriented)
+          slice(pairsT, tIds, "doc_id")
+            .filter(!col(IceLite.DeletedCol))
+            // The slice is bucket-level: keep rows whose ORIENTED FIRST
+            // endpoint (the one that chose the bucket) is actually touched.
+            .withColumn("_e", when(col("fwd"), col("doc_a")).otherwise(col("doc_b")))
+            .join(tIds.withColumnRenamed("doc_id", "_e"), Seq("_e"), "left_semi")
+            .select("doc_a", "doc_b").distinct()
         else {
           val p = IceLite.readStored(spark, pairsT, pSnap)
             .filter(!col(IceLite.DeletedCol)).select("doc_a", "doc_b")
@@ -343,14 +404,29 @@ object PairMaintenance {
             .distinct()
         }
       def pk(a: Column, b: Column) = concat(a, lit("|"), b)
-      val pChanges = verified.select(lit("U").as("op"), lit(lsn).as("lsn"),
-          pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx"),
-          col("doc_a"), col("doc_b"))
-        .unionByName(priorLive.except(verified)
-          .select(lit("D").as("op"), lit(lsn).as("lsn"),
-            pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx")),
-          allowMissingColumns = true)
-      MergeApply.applyChanges(spark, pairsT, pChanges, batchId = epoch)
+      val dropped = priorLive.except(verified)
+      val pChanges =
+        if (oriented) {
+          // Two oriented rows per pair, in ONE atomic commit — key sets of
+          // the two orientations are disjoint, so arbitration never ties.
+          def rows(df: DataFrame, op: String) =
+            df.select(lit(op).as("op"), lit(lsn).as("lsn"),
+                pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx"),
+                col("doc_a"), col("doc_b"), lit(true).as("fwd"))
+              .unionByName(df.select(lit(op).as("op"), lit(lsn).as("lsn"),
+                pk(col("doc_b"), col("doc_a")).as("conv_id"), lit(0).as("turn_idx"),
+                col("doc_a"), col("doc_b"), lit(false).as("fwd")))
+          rows(verified, "U").unionByName(rows(dropped, "D"))
+        } else
+          verified.select(lit("U").as("op"), lit(lsn).as("lsn"),
+              pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx"),
+              col("doc_a"), col("doc_b"))
+            .unionByName(dropped
+              .select(lit("D").as("op"), lit(lsn).as("lsn"),
+                pk(col("doc_a"), col("doc_b")).as("conv_id"), lit(0).as("turn_idx")),
+              allowMissingColumns = true)
+      timed("apply pairs")(
+        MergeApply.applyChanges(spark, pairsT, pChanges, batchId = epoch))
     } finally persisted.foreach(_.unpersist())
   }
 }

@@ -50,10 +50,22 @@ import org.apache.spark.sql.types.StructType
 class IceLiteSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "icelite"
 
+  /** The schema [[sourceSchema]] resolved, pinned for the [[createSource]]
+    * that follows on the SAME provider instance (Spark's DataSource holds
+    * one instance across the two calls): createSource must use the schema
+    * Spark ANALYZED the plan with, and a publish landing between the two
+    * calls would otherwise let a second `loadPublished` pin a schema
+    * differing from the plan's attributes.
+    */
+  @volatile private var analyzed: Option[StructType] = None
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), IceLite.loadPublished(IceLiteSource.pathOf(parameters)).schema)
+                            parameters: Map[String, String]): (String, StructType) = {
+    val s = IceLite.loadPublished(IceLiteSource.pathOf(parameters)).schema
+    analyzed = Some(s)
+    (shortName(), s)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -61,13 +73,18 @@ class IceLiteSourceProvider extends StreamSourceProvider with DataSourceRegister
     val path = IceLiteSource.pathOf(parameters)
     val startingVersion = parameters.getOrElse("startingVersion", "0").toInt
     require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
-    // Pin the schema Spark ANALYZED the plan with (what sourceSchema
-    // returned), not a second loadPublished: a publish landing between the
-    // two calls would otherwise pin a schema differing from the plan's
-    // attributes. The fallback only fires when a caller constructs the
-    // source outside readStream's sourceSchema→createSource sequence.
+    // `schema` here is Spark's USER-specified schema (None in the normal
+    // readStream.format("icelite").load(path) flow). The table's own stored
+    // schema is the only one the source can honor — sourceSchema ignores a
+    // user schema when analyzing, so silently pinning one here would hand
+    // the execution a schema the plan's attributes don't carry. Reject it
+    // loudly instead. The loadPublished fallback only fires for callers
+    // that construct the source outside readStream's
+    // sourceSchema→createSource sequence on this instance.
+    require(schema.isEmpty || analyzed.contains(schema.get),
+      "the icelite source reads the table's own stored schema; drop .schema(...)")
     new IceLiteSource(sqlContext, path, startingVersion,
-      schema.getOrElse(IceLite.loadPublished(path).schema))
+      analyzed.getOrElse(IceLite.loadPublished(path).schema))
   }
 }
 

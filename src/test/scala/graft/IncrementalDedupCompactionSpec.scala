@@ -91,7 +91,36 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
       "completed-staging recovery diverged")
   }
 
-  test("a completed staging from a DIFFERENT target is discarded, never adopted") {
+  test("a completed FOREIGN staging whose phase 2 already deleted sources is adopted") {
+    val cfg = IncrementalDedup.Config(TestSpark.freshDir("incdedup-compact-foreign"),
+      numBuckets = 4)
+    applyAll(cfg)
+    val want = DedupReference.pairs(corpus, cfg.threshold)
+    val root = Paths.get(s"${cfg.stateDir}/duppairs")
+    // Simulate compactPairLog(upToBatch=1) crashing MID-PHASE-2: its staging
+    // is complete (_SUCCESS, holds batches 0+1 folded) and it already
+    // deleted source batch=0 — the staging is now the ONLY copy of batch
+    // 0's pairs. Build the staging as the real fold of batches 0..1.
+    import spark.implicits._
+    val stale = root.resolve(".compact-staging-1")
+    spark.read.parquet(s"$root/batch=0", s"$root/batch=1")
+      .select("doc_a", "doc_b").coalesce(1)
+      .write.parquet(stale.toString)
+    assert(Files.exists(stale.resolve("_SUCCESS")))
+    def rmrf(p: java.nio.file.Path): Unit =
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f)))
+    rmrf(root.resolve("batch=0")) // the crashed run's partial phase 2
+    // A later fold with a DIFFERENT target must adopt (finish) that swap
+    // first — discarding the staging would silently lose batch 0's pairs.
+    IncrementalDedup.compactPairLog(spark, cfg, upToBatch = 2)
+    assert(batchDirs(cfg) == Set("batch=2"))
+    assert(pairSet(cfg) == want,
+      "pairs surviving only in the foreign completed staging must be preserved")
+  }
+
+  test("a completed LEGACY-named staging (unknown target) is left in place, never adopted") {
     val cfg = IncrementalDedup.Config(TestSpark.freshDir("incdedup-compact-stale"),
       numBuckets = 4)
     applyAll(cfg)
