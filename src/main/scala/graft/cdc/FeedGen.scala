@@ -143,7 +143,14 @@ object FeedGen {
     * resume / exactly-once audit query splits it in two replays).
     */
   def fromEventsWithId(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.parquet is one row group, so without this the whole
+    // parse+JSON-render pipeline below runs in ONE scan task; a round-robin
+    // exchange of the raw rows (deterministic: sort-before-repartition) is
+    // ~2 MB through the wire and lets the render use every core. Row→file
+    // assignment shifts, which no oracle observes: every staged consumer's
+    // result is a function of phase-level row SETS, not file placement.
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val lines = ev.select(
       col("event_id"),
       when(col("event_type") === "error", "D").otherwise("U").as("op"),

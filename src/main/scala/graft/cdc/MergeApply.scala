@@ -462,15 +462,22 @@ object MergeApply {
               .sortWithinPartitions(IceLite.BucketCol, "conv_id", "turn_idx")
             else deltaPart.repartition(col(IceLite.BucketCol))
               .sortWithinPartitions("conv_id", "turn_idx")
+          val tJob0 = System.nanoTime()
           writerIn
             .write.mode(SaveMode.Overwrite)
             .partitionBy(IceLite.BucketCol)
             .parquet(s"$tablePath/$deltaDir")
-          ParquetStats.bucketDirStats(hconf, s"$tablePath/$deltaDir", "conv_id").toSeq
+          val tJob = ms(tJob0)
+          val tStats0 = System.nanoTime()
+          val entries = ParquetStats.bucketDirStats(hconf, s"$tablePath/$deltaDir", "conv_id").toSeq
             .map { case (b, st) =>
               BucketEntry(s"$deltaDir/${IceLite.BucketCol}=$b", b, st.rows, newSchemaV,
                 st.minKey, st.maxKey, st.minLsn, st.maxLsn)
             }
+          if (sys.env.get("GRAFT_TRACE").contains("1"))
+            System.err.println(s"[merge] delta write job=${tJob}ms " +
+              s"stats=${ms(tStats0)}ms oneTask=$oneTask dirs=${entries.size}")
+          entries
         } else Nil
         val tWrite = ms(tWrite0)
 

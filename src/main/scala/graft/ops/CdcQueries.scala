@@ -42,10 +42,15 @@ object CdcQueries {
     if (!builtShared.contains(base)) {
       freshDir(s"upsert-shared", sfDir) // wipe any stale copy from a previous JVM
       FeedGen.writeFeed(FeedGen.fromEvents(spark, sfDir), s"$base/feed", files = 8)
+      // One AvailableNow batch: this is shared SETUP (the converged table its
+      // consumers read), not the multi-batch resume demo — cdc_replay_audit
+      // exercises maxFilesPerTrigger batching; paying 2× per-batch fixed
+      // cost here bought nothing. The converged state is identical either
+      // way (LWW), which the consumers' oracles certify.
       Pipeline.replay(spark, Pipeline.Config(
         s"$base/feed", s"$base/table", s"$base/ckpt",
         deadLetterDir = Some(s"$base/dead"), lineageDir = Some(s"$base/lineage"),
-        numBuckets = 32, maxFilesPerTrigger = Some(4)))
+        numBuckets = 32))
       builtShared += base
     }
     s"$base/table"
@@ -283,7 +288,11 @@ object CdcQueries {
         col("violations").as("n"))
     IceLite.publish(table)
     val published = tagged(IceLite.read(spark, table), "published_view")
-    staged.unionByName(audit).unionByName(published)
+    // Barrier before the global sort: the range exchange's boundary sampling
+    // would re-execute all three branches (two table reads + the audit
+    // aggregation) a second time otherwise.
+    CacheScope.persistUntilConsumed(
+      staged.unionByName(audit).unionByName(published))
       .orderBy("phase", "conv_id", "turn_idx")
   }
 
@@ -317,7 +326,10 @@ object CdcQueries {
     val restored = IceLite.read(spark, table).select(
       lit("after_abort").as("phase"), col("conv_id"), col("turn_idx"),
       col("role"), col("text"), col("value"), lit(null).cast("long").as("n"))
-    audit.unionByName(restored).orderBy("phase", "conv_id", "turn_idx")
+    // Same pre-sort barrier as [[wapPublish]]: one execution of the audit
+    // aggregation + restored read, not two (sort sampling + sort).
+    CacheScope.persistUntilConsumed(audit.unionByName(restored))
+      .orderBy("phase", "conv_id", "turn_idx")
   }
 
   /** St6 × incremental-read composition: transcript assembly as a DERIVED-
@@ -370,7 +382,8 @@ object CdcQueries {
   def skewedUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("skew", sfDir)
     val hot = col("user_id") % 10 === 0
-    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism).select(
       when(col("event_type") === "error", "D").otherwise("U").as("op"),
       col("event_id").as("lsn"),
       when(hot, "conv-hot")
@@ -412,6 +425,12 @@ object CdcQueries {
     val base = freshDir("occwriters", sfDir)
     val table = s"$base/table"
     IceLite.create(table, numBuckets = 16)
+    // Persisted: the 2 writers × 4 rounds each filter their slice from this
+    // frame — without the cache every slice re-runs the single-split scan +
+    // props parse (8 single-task parses of the whole file). No repartition:
+    // a 32-block cache turns every tiny slice job into 32 tasks × 16 jobs
+    // under two racing threads (measured +4 s); one block read by one task
+    // per slice is the right shape at this row count.
     val ev = spark.read.parquet(s"$sfDir/events.parquet").select(
       col("event_id"),
       when(col("event_type") === "error", "D").otherwise("U").as("op"),
@@ -442,8 +461,9 @@ object CdcQueries {
         }
       } catch { case t: Throwable => failures.add(t) }
     }, s"occ-writer-$w")
+    ev.persist().count() // materialize BEFORE the threads race the cache build
     val ts = Seq(writer(0), writer(1))
-    ts.foreach(_.start()); ts.foreach(_.join())
+    try { ts.foreach(_.start()); ts.foreach(_.join()) } finally ev.unpersist()
     if (!failures.isEmpty) throw failures.peek()
     val snap = IceLite.load(table)
     require((0 until rounds).forall(r =>
@@ -568,19 +588,23 @@ object CdcQueries {
     * each other and from the common DuckDB oracle that mirrors this rule.
     */
   private def transcriptCorpus(live: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def asm(df: DataFrame) = df.groupBy("conv_id")
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
-        x => x.getField("text"))).as("text"))
-    val whole = asm(live)
-    val clones = asm(live
-        .withColumn("_maxt", max("turn_idx").over(Window.partitionBy("conv_id")))
-        .filter(expr("CAST(substr(conv_id, 6) AS INT) % 5 = 0") &&
-          col("turn_idx") < col("_maxt"))
-        .drop("_maxt"))
-      .select(concat(col("conv_id"), lit("~dup")).as("conv_id"), col("text"))
-    whole.unionByName(clones).select(col("conv_id").as("doc_id"), col("text"))
+    // ONE keyed aggregate builds each conversation's sorted turn list; the
+    // whole transcript AND its planted truncated clone (every 5th conv,
+    // minus its LAST turn — turn_idx is unique per conv, the table's key,
+    // so "drop rows at the per-conv max" ≡ "drop the final list element")
+    // both project from it. The previous form paid a window shuffle + two
+    // groupBy shuffles + two table scans; this is one exchange, reused by
+    // both branches (ReusedExchange in the plan), and one scan.
+    val agg = live.groupBy("conv_id")
+      .agg(array_sort(collect_list(struct(col("turn_idx"), col("text")))).as("ts"))
+    def render(ts: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(ts, x => x.getField("text")))
+    val whole = agg.select(col("conv_id").as("doc_id"), render(col("ts")).as("text"))
+    val clones = agg
+      .filter(expr("CAST(substr(conv_id, 6) AS INT) % 5 = 0") && size(col("ts")) > 1)
+      .select(concat(col("conv_id"), lit("~dup")).as("doc_id"),
+        render(slice(col("ts"), lit(1), size(col("ts")) - 1)).as("text"))
+    whole.unionByName(clones)
   }
 
   def transcriptDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -752,15 +776,29 @@ object CdcQueries {
     * timestamp render.)
     */
   private def jsonLines(changes: DataFrame): DataFrame =
-    changes.select(to_json(struct(col("op"), col("lsn"), col("conv_id"),
+    // `lsn` rides along (writeFeed projects it away): the two-phase stagings
+    // filter on it, and keeping it in THIS projection lets stageTwoPhase
+    // persist one frame that serves both phase writes — a filter on a
+    // projected-away column would be rewritten below the cached projection
+    // by missing-reference resolution and miss the cache entirely.
+    changes.select(col("lsn"), to_json(struct(col("op"), col("lsn"), col("conv_id"),
       col("turn_idx"),
       when(col("op") =!= "D",
         struct(col("role"), col("text"), col("value"))).as("after"))).as("value"))
 
-  /** Midpoint LSN of events.parquet — the standard two-phase cutoff. */
+  /** Midpoint LSN of events.parquet — the standard two-phase cutoff. Read
+    * from the parquet FOOTER statistics (exact for an INT64 column; ~10
+    * harness queries each paid a full-scan aggregation job for one number
+    * otherwise — the same metadata-not-scan rule as [[ParquetStats]]); falls
+    * back to the aggregation when stats are absent. event_ids are
+    * non-negative, so integer halving equals the oracle's floor(max/2).
+    */
   private def halfLsn(spark: SparkSession, sfDir: String): Long =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    graft.table.ParquetStats.columnMaxLong(
+      spark.sessionState.newHadoopConf(), s"$sfDir/events.parquet", "event_id")
+      .map(_ / 2)
+      .getOrElse(spark.read.parquet(s"$sfDir/events.parquet")
+        .agg(floor(max(col("event_id")) / 2)).head.getLong(0))
 
   /** The two-phase staged-replay scaffold the snapshot/CDF/incremental
     * verbs share: phase 1 (`filterCol` ≤ half) replays into a fresh table
@@ -777,18 +815,31 @@ object CdcQueries {
       : (Pipeline.Config, Int) = {
     val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
       numBuckets = 16, maxFilesPerTrigger = Some(trigger), merge = merge)
-    FeedGen.writeFeed(lines.filter(col(filterCol) <= half), s"$base/feed/p1", files = files)
-    Pipeline.replay(spark, cfg)
-    val vA = IceLite.load(cfg.tablePath).version
-    between(cfg)
-    FeedGen.writeFeed(lines.filter(col(filterCol) > half), s"$base/feed/p2", files = files)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
-    (cfg, vA)
+    // One parse/render of the feed serves both phase writes: the p2 write
+    // otherwise re-executes the whole events→JSON pipeline a second time
+    // for the other half of the rows. `lines` carries `filterCol` in its
+    // own projection (see [[jsonLines]]) so the phase filters resolve
+    // against the cached frame instead of being pushed beneath it.
+    val cached = lines.persist()
+    try {
+      FeedGen.writeFeed(cached.filter(col(filterCol) <= half), s"$base/feed/p1", files = files)
+      Pipeline.replay(spark, cfg)
+      val vA = IceLite.load(cfg.tablePath).version
+      between(cfg)
+      FeedGen.writeFeed(cached.filter(col(filterCol) > half), s"$base/feed/p2", files = files)
+      Pipeline.replay(spark, cfg) // resume: only p2 is new
+      (cfg, vA)
+    } finally cached.unpersist()
   }
 
-  /** events.parquet under the change-feed mapping (columnar, no JSON hop). */
+  /** events.parquet under the change-feed mapping (columnar, no JSON hop).
+    * Repartitioned off the single-row-group scan first so the props parse +
+    * downstream JSON render parallelize (same rationale as
+    * [[FeedGen.fromEventsWithId]]).
+    */
   private def eventsAsFeed(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.read.parquet(s"$sfDir/events.parquet").select(
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism).select(
       when(col("event_type") === "error", "D").otherwise("U").as("op"),
       col("event_id").as("lsn"),
       concat(lit("conv-"), lpad(col("user_id").cast("string"), 4, "0")).as("conv_id"),

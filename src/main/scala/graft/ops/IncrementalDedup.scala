@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.cdc.MergeApply
-import graft.table.IceLite
+import graft.table.{IceLite, ParquetStats}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -67,7 +67,18 @@ object IncrementalDedup {
     * disables (the pre-round-5 behavior).
     */
   case class Config(stateDir: String, numHashes: Int = 16, threshold: Double = 0.5,
-                    numBuckets: Int = 32, stateBloomFpp: Option[Double] = Some(0.005))
+                    numBuckets: Int = 32, stateBloomFpp: Option[Double] = Some(0.005),
+                    bloomMinStateRows: Long = BloomMinStateRows)
+
+  /** Manifest-row floor below which the state-probe Bloom filter is skipped:
+    * the build is two jobs over the batch's band rows + a broadcast, and a
+    * state slice under ~1M rows moves through the candidate exchange for
+    * less than that (the BenchIncDedup A/B measured the filter neutral even
+    * at a 1M:1M ratio — its win is the steady state where the slice dwarfs
+    * the batch). Decided per batch from the snapshot's entry row counts —
+    * no data read, deterministic, and any production-scale slice clears it.
+    */
+  val BloomMinStateRows = 1000000L
 
   private def sigIndexPath(cfg: Config) = s"${cfg.stateDir}/sigindex"
   private def docSigsPath(cfg: Config) = s"${cfg.stateDir}/docsigs"
@@ -121,9 +132,11 @@ object IncrementalDedup {
         // (committed base+delta entries are key-disjoint until compaction
         // folds them) — no per-batch LWW merge-on-read shuffle of the
         // state slice, just scan + hash join.
-        val stateBands = readStateSlice(spark, sigIndex, idxSnap,
+        val stateSlice = readStateSlice(spark, sigIndex, idxSnap,
           bands.select(IceLite.bucketExprFor(idxSnap, col("bk")).as("b")))
-          .map(_.select(col("conv_id").as("bk"), col("doc_id")))
+        val stateBands = stateSlice.map { case (df, _) =>
+          df.select(col("conv_id").as("bk"), col("doc_id")) }
+        val stateBandRows = stateSlice.map(_._2).getOrElse(0L)
         lap("probe_bands")
         // ---- candidates: every (smaller id, batch id) pair sharing a band
         // key — state rows and the batch itself on the left, batch on the
@@ -133,12 +146,19 @@ object IncrementalDedup {
         // of the whole state slice through the exchange).
         val pruned = stateBands.map { sb =>
           cfg.stateBloomFpp match {
-            case Some(fpp) =>
+            // Cost-based gate, decided from MANIFEST row counts (free, no
+            // job): the bloom build costs one count + one aggregation over
+            // the batch's band rows plus a broadcast; it pays when the state
+            // slice through the exchange is large relative to that (measured
+            // 1.8× at a 50:1 state:batch ratio, neutral at 1:1 — see Config
+            // doc). Below the floor the two build jobs are pure overhead on
+            // a slice the exchange moves in one task anyway.
+            case Some(fpp) if stateBandRows >= cfg.bloomMinStateRows =>
               val bf = bands.stat.bloomFilter("bk", math.max(bands.count(), 1L), fpp)
               val bc = spark.sparkContext.broadcast(bf)
               val might = udf((s: String) => bc.value.mightContainString(s))
               sb.filter(might(col("bk")))
-            case None => sb
+            case _ => sb
           }
         }
         val left = pruned.map(_.unionByName(bands)).getOrElse(bands)
@@ -153,9 +173,26 @@ object IncrementalDedup {
           // ---- exact-Jaccard verify; the stored side's shingle sets come
           // from docsigs, bucket-pruned by the candidate ids.
           val docSnap = IceLite.load(docSigs)
+          // The sigindex append is independent of the verify chain (it
+          // consumes only the persisted `bands`, and every state read here
+          // is pinned to pre-batch snapshots), so it runs CONCURRENTLY with
+          // the verify/survivor jobs — its commit latency hides under them
+          // (guide §2.6 back-fill). The docsigs append stays AFTER the
+          // survivor write: the exactly-once guard requires BOTH tables, so
+          // a crash with only sigindex committed re-runs the whole batch
+          // (sigindex's own epoch no-ops), while "both committed" still
+          // implies the survivor dir was fully written.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val bandChanges = bands.select(
+            lit("U").as("op"), col("doc_id").as("lsn"),
+            col("bk").as("conv_id"), col("doc_id").cast(IntegerType).as("turn_idx"),
+            col("doc_id"))
+          val bandAppend = Future(MergeApply.applyChanges(spark, sigIndex, bandChanges, batchId))
           val stateSh = readStateSlice(spark, docSigs, docSnap,
             cands.select(IceLite.bucketExprFor(docSnap, col("doc_a").cast(StringType)).as("b")))
-            .map(_.select(col("doc_id"), col("sh")))
+            .map { case (df, _) => df.select(col("doc_id"), col("sh")) }
           lap("probe_docs")
           val aSh = stateSh.map(_.unionByName(sh.select("doc_id", "sh"))).getOrElse(sh)
           val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -184,36 +221,28 @@ object IncrementalDedup {
           survivors.write.mode(SaveMode.Overwrite)
             .parquet(s"${survivorsPath(cfg)}/batch=$batchId")
           lap("survivors")
+          // ---- docsigs append through the real MERGE path (delta append +
+          // epoch commit; the epoch guard above makes the whole applyBatch
+          // idempotent). Typed apply: the rows are already columnar, so no
+          // JSON round-trip and no per-row inference. Runs only after the
+          // survivor write so "both tables committed" keeps implying the
+          // survivor dir is complete; the sigindex append has been running
+          // alongside the verify chain since before the probe (see above).
+          val docChanges = sh.select(
+            lit("U").as("op"), col("doc_id").as("lsn"),
+            col("doc_id").cast(StringType).as("conv_id"), lit(0).as("turn_idx"),
+            col("doc_id"), col("sh"))
+          MergeApply.applyChanges(spark, docSigs, docChanges, batchId)
+          Await.result(bandAppend, Duration.Inf)
+          lap("merge_state")
+          // Survivor count from the just-written files' FOOTERS (exact row
+          // counts, driver-side) — the read-back count job it replaces was a
+          // per-batch fixed cost.
+          val n = ParquetStats.dirStats(spark.sessionState.newHadoopConf(),
+            s"${survivorsPath(cfg)}/batch=$batchId", "doc_id").rows
+          lap("count")
+          n
         } finally cands.unpersist()
-        // ---- append ALL batch signatures through the real MERGE path
-        // (delta append + epoch commit; the epoch guard above makes the
-        // whole applyBatch idempotent). Typed apply: the rows are already
-        // columnar, so no JSON round-trip and no per-row inference —
-        // `MergeApply.applyChanges` is the record-oriented twin of the
-        // JSONL path (measured ~2× per-batch apply cost without it).
-        // The two state tables are independent (own dirs, own commit
-        // locks), so their appends run as CONCURRENT Spark jobs — neither
-        // append's shuffle saturates the cluster alone, and overlapping
-        // them hides one commit latency per batch.
-        val bandChanges = bands.select(
-          lit("U").as("op"), col("doc_id").as("lsn"),
-          col("bk").as("conv_id"), col("doc_id").cast(IntegerType).as("turn_idx"),
-          col("doc_id"))
-        val docChanges = sh.select(
-          lit("U").as("op"), col("doc_id").as("lsn"),
-          col("doc_id").cast(StringType).as("conv_id"), lit(0).as("turn_idx"),
-          col("doc_id"), col("sh"))
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val appends = Seq(
-          Future(MergeApply.applyChanges(spark, sigIndex, bandChanges, batchId)),
-          Future(MergeApply.applyChanges(spark, docSigs, docChanges, batchId)))
-        appends.foreach(Await.result(_, Duration.Inf))
-        lap("merge_state")
-        val n = spark.read.parquet(s"${survivorsPath(cfg)}/batch=$batchId").count()
-        lap("count")
-        n
       } finally bands.unpersist()
     } finally sh.unpersist()
   }
@@ -224,12 +253,13 @@ object IncrementalDedup {
     */
   private def readStateSlice(spark: SparkSession, path: String,
                              snap: IceLite.Snapshot,
-                             bucketIds: DataFrame): Option[DataFrame] = {
+                             bucketIds: DataFrame): Option[(DataFrame, Long)] = {
     val entries = snap.buckets ++ snap.deltas
     if (entries.isEmpty) None
     else {
       val touched = bucketIds.distinct().collect().map(_.getInt(0)).toSet
-      IceLite.readEntries(spark, path, snap, entries.filter(e => touched.contains(e.bucket)))
+      val hit = entries.filter(e => touched.contains(e.bucket))
+      IceLite.readEntries(spark, path, snap, hit).map(df => (df, hit.map(_.rows).sum))
     }
   }
 

@@ -76,6 +76,42 @@ object ParquetStats {
     DirStats(rows, if (minK == null) "" else minK, if (maxK == null) "" else maxK, lo, hi)
   }
 
+  /** Exact maximum of an INT64 column from footer statistics alone — for
+    * driver-side cutoffs (e.g. the two-phase harness midpoint) that
+    * otherwise cost a full-scan aggregation job per query. `path` may be a
+    * single parquet file or a directory of them. Returns None (caller falls
+    * back to the scan) when any block lacks statistics for the column, so
+    * the answer is footer-exact or not given, never approximate.
+    */
+  def columnMaxLong(conf: Configuration, path: String, column: String): Option[Long] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val files: Array[FileStatus] =
+      if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+      else fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    var mx = Long.MinValue
+    var seen = true
+    files.foreach { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case Some(col) =>
+            val s = col.getStatistics
+            if (s != null && !s.isEmpty && s.hasNonNullValue)
+              s.genericGetMax match {
+                case v: java.lang.Long => if (v > mx) mx = v
+                case _ => seen = false
+              }
+            else seen = false
+          case None => seen = false
+        }
+      } finally reader.close()
+    }
+    if (seen && mx != Long.MinValue) Some(mx) else None
+  }
+
   /** Stats for every `_bucket=N` subdirectory of a partitioned write.
     * Footer reads run on the JVM common pool: a 64-bucket delta write means
     * 64 independent footer opens, and reading them sequentially on the

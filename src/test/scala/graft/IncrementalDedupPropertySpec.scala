@@ -45,8 +45,11 @@ class IncrementalDedupPropertySpec extends AnyFunSuite {
       val dir = TestSpark.freshDir(s"incdedup-prop-$caseN")
       // Alternate the state-side Bloom prune so BOTH probe paths are held
       // to the same brute-force reference (the prune must be invisible).
+      // bloomMinStateRows = 0 forces the bloom path at spec scale — the
+      // production default's manifest-row floor would silently skip it.
       val cfg = IncrementalDedup.Config(dir, numBuckets = 4,
-        stateBloomFpp = if (caseN % 2 == 0) None else Some(0.005))
+        stateBloomFpp = if (caseN % 2 == 0) None else Some(0.005),
+        bloomMinStateRows = 0L)
       val per = math.max(1, (docs.size + nBatches - 1) / nBatches)
       docs.sortBy(_._1).grouped(per).zipWithIndex.foreach { case (batch, i) =>
         IncrementalDedup.applyBatch(spark, batch.toDF("doc_id", "text"), i.toLong, cfg)
