@@ -41,6 +41,26 @@ object ProbeWrite {
           df.write.mode(SaveMode.Overwrite).parquet(s"$base/s$i")
         }
       }
+      val df64 = spark.range(25000).select(
+        col("id"), pmod(col("id"), lit(64)).cast("int").as("_bucket"),
+        concat(lit("b"), col("id") % 16, lit("|"), col("id"), lit("@conv-"), col("id")).as("conv_id"),
+        lit("x").as("text"))
+        .persist()
+      df64.count()
+      (1 to 3).foreach { i =>
+        t(s"64dir coalesce1 25k rows (lap $i)") {
+          df64.coalesce(1).sortWithinPartitions("_bucket", "conv_id")
+            .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+            .parquet(s"$base/c64-$i")
+        }
+      }
+      (1 to 3).foreach { i =>
+        t(s"64dir repart 25k rows (lap $i)") {
+          df64.repartition(col("_bucket")).sortWithinPartitions("conv_id")
+            .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+            .parquet(s"$base/r64-$i")
+        }
+      }
       val df32 = spark.range(1500).select(
         col("id"), pmod(col("id"), lit(16)).cast("int").as("_bucket"),
         concat(lit("conv-"), col("id")).as("conv_id"),

@@ -690,7 +690,7 @@ object CdcQueries {
     val touched = IceLite.changesSince(spark, table, vA).select("conv_id").distinct()
     refresh(Some(touched), lsn = 2L, epoch = 1L)
 
-    PairMaintenance.livePairs(spark, cfg)
+    CacheScope.persistUntilConsumed(PairMaintenance.livePairs(spark, cfg))
       .orderBy("doc_a", "doc_b")
   }
 

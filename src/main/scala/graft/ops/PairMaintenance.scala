@@ -301,35 +301,64 @@ object PairMaintenance {
 
       // ---- docsigs: stale bands from the touched docs' STORED rows
       // (bucket-pruned point reads), then upsert new rows / tombstone
-      // vanished docs.
-      val stored = timed("slice docsigs")(slice(docSigs, tIds, "doc_id"))
-      val oldBands =
-        if (!stored.columns.contains("bks")) // pre-first-write empty schema
-          spark.emptyDataFrame.select(lit("").as("bk"), lit("").as("doc_id")).limit(0)
-        else stored.filter(!col(IceLite.DeletedCol))
-          .join(tIds.withColumnRenamed("doc_id", "conv_id"), Seq("conv_id"), "left_semi")
-          .select(explode(col("bks")).as("bk"), col("conv_id").as("doc_id"))
+      // vanished docs. An EMPTY state table (bootstrap refresh — the
+      // manifest says so, no job) short-circuits the stored-bands read and
+      // the except below: the two distinct-aggregates it would run over the
+      // new band rows can produce nothing on an empty left side.
+      val dsEmpty = { val s = IceLite.load(docSigs); (s.buckets ++ s.deltas).isEmpty }
+      val stored =
+        if (dsEmpty) None
+        else Some(timed("slice docsigs")(slice(docSigs, tIds, "doc_id")))
+      val emptyBands =
+        spark.emptyDataFrame.select(lit("").as("bk"), lit("").as("doc_id")).limit(0)
+      val noStoredBands = stored.forall(!_.columns.contains("bks"))
+      val oldBands = stored match {
+        case Some(df) if !noStoredBands => // empty state / pre-first-write schema otherwise
+          df.filter(!col(IceLite.DeletedCol))
+            .join(tIds.withColumnRenamed("doc_id", "conv_id"), Seq("conv_id"), "left_semi")
+            .select(explode(col("bks")).as("bk"), col("conv_id").as("doc_id"))
+        case _ => emptyBands
+      }
       val vanished = tIds.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
       val dsChanges = withBks.select(lit("U").as("op"), lit(lsn).as("lsn"),
           col("doc_id").as("conv_id"), lit(0).as("turn_idx"), col("sh"), col("bks"))
         .unionByName(vanished.select(lit("D").as("op"), lit(lsn).as("lsn"),
           col("doc_id").as("conv_id"), lit(0).as("turn_idx")), allowMissingColumns = true)
-      timed("apply docsigs")(
-        MergeApply.applyChanges(spark, docSigs, dsChanges, batchId = epoch))
 
       // ---- bandindex: retract the bands the re-sign dropped, assert the new
       // ones. The two key sets are disjoint, so same-LSN arbitration never
       // ties.
       val newBands = withBks.select(explode(col("bks")).as("bk"), col("doc_id"))
-      val droppedBands = oldBands.except(newBands)
+      val droppedBands =
+        if (noStoredBands) emptyBands else oldBands.except(newBands)
       val biChanges = newBands.select(lit("U").as("op"), lit(lsn).as("lsn"),
           bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx"),
           col("bk"), col("doc_id"))
         .unionByName(droppedBands.select(lit("D").as("op"), lit(lsn).as("lsn"),
           bandRowKey(col("bk"), col("doc_id")).as("conv_id"), lit(0).as("turn_idx")),
           allowMissingColumns = true)
-      timed("apply bandindex")(
-        MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch))
+
+      // The docsigs and bandindex commits are INDEPENDENT (biChanges derives
+      // oldBands from the slice pinned ABOVE, not from the committed docsigs
+      // state), so they run concurrently — one commit latency per refresh
+      // instead of two. Crash semantics stay inside the documented residue
+      // class: the new interleaving (bandindex committed, docsigs not) makes
+      // a retry's band retractions no-op against the already-committed
+      // epoch, leaving stale band rows live — exactly the probe-cost-only
+      // residue the docsigs-first crash already produces (class doc;
+      // PairMaintenanceRecoverySpec), reclaimed by [[rebuildIndex]]. The
+      // pairs commit stays strictly AFTER both: its candidates read the
+      // post-apply band index.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val ds = Future(timed("apply docsigs")(
+          MergeApply.applyChanges(spark, docSigs, dsChanges, batchId = epoch)))
+        timed("apply bandindex")(
+          MergeApply.applyChanges(spark, bandIdx, biChanges, batchId = epoch))
+        Await.result(ds, Duration.Inf)
+      }
 
       // ---- candidates: new bands vs the live index. The state side AFTER
       // the apply already holds the new rows, so touched×touched candidates
@@ -384,8 +413,9 @@ object PairMaintenance {
       // bucketSep) keeps the legacy single-row layout and its full read.
       val pSnap = IceLite.load(pairsT)
       val oriented = pSnap.bucketSep.contains("|")
+      val pEmpty = (pSnap.buckets ++ pSnap.deltas).isEmpty
       val priorLive =
-        if (!pSnap.schema.fieldNames.contains("doc_a")) verified.limit(0)
+        if (pEmpty || !pSnap.schema.fieldNames.contains("doc_a")) verified.limit(0)
         else if (oriented)
           slice(pairsT, tIds, "doc_id")
             .filter(!col(IceLite.DeletedCol))
@@ -404,7 +434,9 @@ object PairMaintenance {
             .distinct()
         }
       def pk(a: Column, b: Column) = concat(a, lit("|"), b)
-      val dropped = priorLive.except(verified)
+      // Bootstrap short-circuit: an empty prior set can drop nothing — skip
+      // the except's two distinct-aggregates over the verified side.
+      val dropped = if (pEmpty) verified.limit(0) else priorLive.except(verified)
       val pChanges =
         if (oriented) {
           // Two oriented rows per pair, in ONE atomic commit — key sets of
