@@ -165,15 +165,18 @@ object CdcQueries {
     */
   def replayAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val base = freshDir("audit", sfDir)
-    val lines = FeedGen.fromEventsWithId(spark, sfDir)
+    // One render serves both phase writes (same pattern as stageTwoPhase).
+    val lines = FeedGen.fromEventsWithId(spark, sfDir).persist()
     val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
       deadLetterDir = Some(s"$base/dead"), lineageDir = Some(s"$base/lineage"),
       numBuckets = 16, maxFilesPerTrigger = Some(2))
-    FeedGen.writeFeed(lines.filter(col("event_id") % 3 === 0), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    FeedGen.writeFeed(lines.filter(col("event_id") % 3 =!= 0), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2's files are unprocessed
-    val rerun = Pipeline.replay(spark, cfg) // nothing new → must be 0 batches
+    val rerun = try {
+      FeedGen.writeFeed(lines.filter(col("event_id") % 3 === 0), s"$base/feed/p1", files = 4)
+      Pipeline.replay(spark, cfg)
+      FeedGen.writeFeed(lines.filter(col("event_id") % 3 =!= 0), s"$base/feed/p2", files = 4)
+      Pipeline.replay(spark, cfg) // resume: only p2's files are unprocessed
+      Pipeline.replay(spark, cfg) // nothing new → must be 0 batches
+    } finally lines.unpersist()
     MergeApply.readLineage(spark, s"$base/lineage").select("batch.*").agg(
       count(lit(1)).cast("long").as("n_batches"),
       lit(rerun.size.toLong).as("rerun_batches"),
@@ -361,9 +364,12 @@ object CdcQueries {
         unix_micros(col("ts").cast("timestamp")).as("us"),
         col("turn_idx").cast("long").as("ord"),
         col("value"))
-    graft.streaming.Sessionize.sessionsOver(live)
-      .withColumnRenamed("key", "conv_id")
-      .select("conv_id", "session_idx", "n_events", "start_us", "end_us", "sum_value")
+    // Pre-sort barrier: the range sampling would re-run the sessionizer
+    // (and the touched-keys semi-join below it) a second time.
+    CacheScope.persistUntilConsumed(
+      graft.streaming.Sessionize.sessionsOver(live)
+        .withColumnRenamed("key", "conv_id")
+        .select("conv_id", "session_idx", "n_events", "start_us", "end_us", "sum_value"))
       .orderBy("conv_id", "session_idx")
   }
 
@@ -916,6 +922,7 @@ object CdcQueries {
       StructField("value", DoubleType), StructField("ts", TimestampType))),
       numBuckets = 16)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val op = when(col("event_type") === "error", "D")
       .when(col("event_id") % 5 === 0, "I")
       .when(col("event_id") % 7 === 3, "R").otherwise("U")
@@ -944,7 +951,9 @@ object CdcQueries {
     // null-field dropping IS the patch contract: a U's unset columns go
     // absent (leave-alone), an R's marked columns ride as markers, an I's
     // absent columns parse to null and set null.
-    val lines = changes.select(to_json(struct(col("op"), col("lsn"),
+    // `lsn` rides along so the phase filters resolve against the persisted
+    // frame — one render serves both phase writes (see stageTwoPhase).
+    val lines = changes.select(col("lsn"), to_json(struct(col("op"), col("lsn"),
       col("conv_id"), col("turn_idx"),
       when(col("op") =!= "D",
         struct(col("role"), col("text"), col("value"),
@@ -952,12 +961,15 @@ object CdcQueries {
           // timestamp format would truncate to millis and break the
           // bit-identity with the oracle's raw ts
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"))).as("after"))).as("value"))
-    val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
-      numBuckets = 16, maxFilesPerTrigger = Some(4), merge = "patch")
-    FeedGen.writeFeed(lines.filter(pmod(col("lsn"), lit(2)) === 0), s"$base/feed/p1", files = 4)
-    Pipeline.replay(spark, cfg)
-    FeedGen.writeFeed(lines.filter(pmod(col("lsn"), lit(2)) === 1), s"$base/feed/p2", files = 4)
-    Pipeline.replay(spark, cfg) // resume: only p2 is new
+      .persist()
+    try {
+      val cfg = Pipeline.Config(s"$base/feed", table, s"$base/ckpt",
+        numBuckets = 16, maxFilesPerTrigger = Some(4), merge = "patch")
+      FeedGen.writeFeed(lines.filter(pmod(col("lsn"), lit(2)) === 0), s"$base/feed/p1", files = 4)
+      Pipeline.replay(spark, cfg)
+      FeedGen.writeFeed(lines.filter(pmod(col("lsn"), lit(2)) === 1), s"$base/feed/p2", files = 4)
+      Pipeline.replay(spark, cfg) // resume: only p2 is new
+    } finally lines.unpersist()
     PatchApply.read(spark, table).orderBy("conv_id", "turn_idx")
   }
 
@@ -981,11 +993,12 @@ object CdcQueries {
       StructField("value", DoubleType))),
       numBuckets = 16)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val op = when(col("event_type") === "error", "D")
       .when(col("event_id") % 5 === 0, "I")
       .when(col("event_id") % 7 === 3, "R").otherwise("U")
     val m3 = col("event_id") % 3
-    val half = ev.agg(floor(max(col("event_id")) / 2)).head.getLong(0)
+    val half = halfLsn(spark, sfDir) // footer-stat max, same floor(max/2)
     val changes = ev.select(
       op.as("op"),
       col("event_id").as("lsn"),
@@ -1075,7 +1088,9 @@ object CdcQueries {
   def bootstrapHandoff(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = freshDir("bootstrap", sfDir)
-    val ev = eventsAsFeed(spark, sfDir)
+    // Persisted: the snapshot fold and the tail render are two DIFFERENT
+    // projections of the same parsed feed — one scan + props parse, not two.
+    val ev = eventsAsFeed(spark, sfDir).persist()
     val half = halfLsn(spark, sfDir)
     // The consistent snapshot at the cutoff: LWW winner per key over the
     // prefix, deletes dropped (a snapshot only sees rows that exist).
@@ -1088,10 +1103,12 @@ object CdcQueries {
     def lines(df: DataFrame) = jsonLines(df)
     val cfg = Pipeline.Config(s"$base/feed", s"$base/table", s"$base/ckpt",
       numBuckets = 16, maxFilesPerTrigger = Some(4))
-    FeedGen.writeFeed(lines(snapshot), s"$base/feed/p0-snapshot", files = 4)
-    Pipeline.replay(spark, cfg) // bootstrap epoch(s)
-    FeedGen.writeFeed(lines(ev.filter(col("lsn") > half)), s"$base/feed/p1-tail", files = 4)
-    Pipeline.replay(spark, cfg) // handoff: resume processes only the tail
+    try {
+      FeedGen.writeFeed(lines(snapshot), s"$base/feed/p0-snapshot", files = 4)
+      Pipeline.replay(spark, cfg) // bootstrap epoch(s)
+      FeedGen.writeFeed(lines(ev.filter(col("lsn") > half)), s"$base/feed/p1-tail", files = 4)
+      Pipeline.replay(spark, cfg) // handoff: resume processes only the tail
+    } finally ev.unpersist()
     IceLite.read(spark, s"$base/table")
       .select("conv_id", "turn_idx", "role", "text", "value")
       .orderBy("conv_id", "turn_idx")
@@ -1131,14 +1148,16 @@ object CdcQueries {
     val before = IceLite.readStored(spark, s"$base/table", snapA, Some(buckets))
       .filter(!col(IceLite.DeletedCol))
       .select(col("conv_id"), col("turn_idx"), col("text").as("old_text"))
-    changed.join(before, Seq("conv_id", "turn_idx"), "left_outer")
-      .withColumn("change",
-        when(!col("del") && col("old_text").isNull, "insert")
-          .when(!col("del"), "update")
-          .when(col("old_text").isNotNull, "delete"))
-      .filter(col("change").isNotNull) // dead at head AND absent at vA: no visible change
-      .select(col("conv_id"), col("turn_idx"), col("change"), col("old_text"),
-        when(col("change") =!= "delete", col("new_text")).as("new_text"))
+    // Pre-sort barrier: the range sampling would re-run the diff join.
+    CacheScope.persistUntilConsumed(
+      changed.join(before, Seq("conv_id", "turn_idx"), "left_outer")
+        .withColumn("change",
+          when(!col("del") && col("old_text").isNull, "insert")
+            .when(!col("del"), "update")
+            .when(col("old_text").isNotNull, "delete"))
+        .filter(col("change").isNotNull) // dead at head AND absent at vA: no visible change
+        .select(col("conv_id"), col("turn_idx"), col("change"), col("old_text"),
+          when(col("change") =!= "delete", col("new_text")).as("new_text")))
       .orderBy("conv_id", "turn_idx")
   }
 }
